@@ -1,0 +1,100 @@
+"""Shared NN building blocks (flax.linen, NHWC, bf16-friendly).
+
+Everything here is written for XLA:TPU: static shapes, channels-last convs
+(MXU-tileable), fp32 normalization statistics with bf16 activations.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       scale: float = 1.0) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings (diffusers Timesteps parity: SD uses
+    flip_sin_to_cos=True, downscale_freq_shift=0). fp32 for precision."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift))
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = scale * jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over channel-last tensors with fp32 statistics."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        g = self.num_groups
+        spatial = xf.shape[1:-1]
+        xg = xf.reshape(xf.shape[0], -1, g, c // g)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = xg.reshape(xf.shape[0], *spatial, c)
+        out = xf * scale + bias
+        return out.astype(orig_dtype)
+
+
+class Conv(nn.Module):
+    """3x3/1x1 conv, NHWC, SAME padding by default (diffusers Conv2d parity
+    for stride-1; stride-2 downsample uses explicit asymmetric padding)."""
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    stride: Tuple[int, int] = (1, 1)
+    padding: Any = 'SAME'
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.features, self.kernel, strides=self.stride,
+                       padding=self.padding, dtype=self.dtype,
+                       param_dtype=jnp.float32, name='conv')(x)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACT = {
+    'silu': jax.nn.silu,
+    'swish': jax.nn.silu,
+    'gelu': jax.nn.gelu,
+    'quick_gelu': quick_gelu,
+    'relu': jax.nn.relu,
+    'mish': lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+}

@@ -1,0 +1,56 @@
+"""Attention dispatch: Pallas flash-attention on TPU, XLA fallback elsewhere.
+
+Stands in for the reference's xFormers memory-efficient attention
+(hcpdiff/train_ac.py:258-263, hcpdiff/models/textencoder_ex.py:99-147).
+All UNet/CLIP/VAE attention routes through :func:`attention` so the kernel
+choice is a single switch.
+
+Shapes follow the TPU-friendly convention ``[batch, heads, seq, head_dim]``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   bias: Optional[jnp.ndarray], causal: bool,
+                   scale: Optional[float]) -> jnp.ndarray:
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    if causal:
+        ql, kl = q.shape[-2], k.shape[-2]
+        mask = jnp.tril(jnp.ones((ql, kl), dtype=bool), k=kl - ql)
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs, v)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None, causal: bool = False,
+              scale: Optional[float] = None, use_flash: Optional[bool] = None
+              ) -> jnp.ndarray:
+    """Multi-head attention on ``[B, H, S, D]`` tensors.
+
+    ``use_flash=None`` auto-selects the Pallas flash kernel on TPU for
+    shapes it supports (long self-attention in UNet/VAE), otherwise the
+    fused-softmax XLA path (which XLA also fuses well at short seq).
+    """
+    if use_flash is None:
+        use_flash = (jax.default_backend() == 'tpu' and bias is None
+                     and q.shape[-2] >= 256 and q.shape[-2] == k.shape[-2]
+                     and q.shape[-2] % 128 == 0 and q.shape[-1] <= 256)
+    if use_flash:
+        try:
+            from .flash_attention import flash_attention
+            return flash_attention(q, k, v, causal=causal, scale=scale)
+        except Exception:
+            pass
+    return _xla_attention(q, k, v, bias, causal, scale)
