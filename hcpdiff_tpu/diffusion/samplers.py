@@ -1,0 +1,261 @@
+"""Inference samplers — pure-jnp steppers usable inside ``lax.scan``.
+
+Stand-ins for the diffusers schedulers the reference's pipelines call
+(hcpdiff/utils/pipe_hook.py:118-153 denoise loop). Each sampler exposes:
+
+- ``timesteps(num_steps)``      -> int32 [N] descending timesteps
+- ``init_state(num_steps, shape)`` -> fixed-shape pytree carried through scan
+- ``scale_model_input(state, x, i)``
+- ``step(state, model_out, i, x, rng)`` -> (x_prev, new_state, x0_pred)
+
+``x0_pred`` feeds the preview callback (reference pipe_hook x0 approx at
+utils/pipe_hook.py:140-146). All math fp32; timestep indexing is static
+under scan (gathers from precomputed tables).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import NoiseSchedule
+
+
+def _bshape(x: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return x.reshape((-1,) + (1,) * (ndim - 1))
+
+
+class BaseSampler:
+    """Common: schedule + prediction-type conversion."""
+
+    def __init__(self, schedule: NoiseSchedule, num_steps: int,
+                 spacing: str = 'leading', steps_offset: int = 1):
+        self.schedule = schedule
+        self.num_steps = int(num_steps)
+        T = schedule.num_train_timesteps
+        if spacing == 'leading':
+            ratio = T // self.num_steps
+            ts = (np.arange(0, self.num_steps) * ratio).round()[::-1].astype(np.int64)
+            ts = ts + steps_offset
+        elif spacing == 'linspace':
+            ts = np.linspace(0, T - 1, self.num_steps).round()[::-1].astype(np.int64)
+        elif spacing == 'trailing':
+            ts = np.arange(T, 0, -T / self.num_steps).round().astype(np.int64) - 1
+        else:
+            raise ValueError(spacing)
+        self.timesteps = jnp.asarray(np.clip(ts, 0, T - 1), jnp.int32)
+
+    # helpers
+    def _acp(self, t: jnp.ndarray) -> jnp.ndarray:
+        return self.schedule.alphas_cumprod[t]
+
+    def _x0_eps(self, model_out, x, t):
+        return self.schedule.pred_to_x0_eps(model_out, x, t)
+
+    def init_state(self, shape: Tuple[int, ...]) -> Any:
+        return ()
+
+    def scale_model_input(self, state: Any, x: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+        return x
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1.0
+
+
+class DDIMSampler(BaseSampler):
+    """eta=0 deterministic DDIM."""
+
+    def __init__(self, schedule, num_steps, eta: float = 0.0, **kw):
+        super().__init__(schedule, num_steps, **kw)
+        self.eta = float(eta)
+
+    def step(self, state, model_out, i, x, rng=None):
+        t = self.timesteps[i]
+        T = self.schedule.num_train_timesteps
+        t_prev = t - T // self.num_steps
+        a_t = self._acp(t)
+        a_prev = jnp.where(t_prev >= 0, self._acp(jnp.maximum(t_prev, 0)), 1.0)
+        x0, eps = self._x0_eps(model_out, x, t)
+        nd = x.ndim
+        if self.eta > 0.0 and rng is not None:
+            var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+            sigma = self.eta * jnp.sqrt(var)
+            noise = jax.random.normal(rng, x.shape)
+        else:
+            sigma = jnp.zeros(())
+            noise = jnp.zeros_like(x)
+        dir_xt = jnp.sqrt(jnp.maximum(1 - a_prev - sigma ** 2, 0.0)) * eps
+        x_prev = (_bshape(jnp.sqrt(a_prev)[None], nd) * x0 + dir_xt
+                  + _bshape(sigma[None], nd) * noise)
+        return x_prev, state, x0
+
+
+class DDPMSampler(BaseSampler):
+    def step(self, state, model_out, i, x, rng):
+        t = self.timesteps[i]
+        T = self.schedule.num_train_timesteps
+        t_prev = t - T // self.num_steps
+        a_t = self._acp(t)
+        a_prev = jnp.where(t_prev >= 0, self._acp(jnp.maximum(t_prev, 0)), 1.0)
+        x0, eps = self._x0_eps(model_out, x, t)
+        cur_alpha = a_t / a_prev
+        cur_beta = 1 - cur_alpha
+        coef_x0 = jnp.sqrt(a_prev) * cur_beta / (1 - a_t)
+        coef_xt = jnp.sqrt(cur_alpha) * (1 - a_prev) / (1 - a_t)
+        mean = _bshape(coef_x0[None], x.ndim) * x0 + _bshape(coef_xt[None], x.ndim) * x
+        var = jnp.clip((1 - a_prev) / (1 - a_t) * cur_beta, 1e-20)
+        noise = jax.random.normal(rng, x.shape)
+        has_noise = (t_prev >= 0).astype(jnp.float32)
+        x_prev = mean + has_noise * _bshape(jnp.sqrt(var)[None], x.ndim) * noise
+        return x_prev, state, x0
+
+
+class KSamplerBase(BaseSampler):
+    """Karras-style sigma-space samplers (Euler, Euler-a, DPM++)."""
+
+    def __init__(self, schedule, num_steps, use_karras_sigmas: bool = False,
+                 spacing: str = 'linspace', **kw):
+        super().__init__(schedule, num_steps, spacing=spacing, **kw)
+        acp = np.asarray(schedule.alphas_cumprod)
+        all_sigmas = np.sqrt((1 - acp) / acp)
+        ts = np.asarray(self.timesteps)
+        if use_karras_sigmas:
+            smin, smax = all_sigmas[ts[-1]], all_sigmas[ts[0]]
+            rho = 7.0
+            ramp = np.linspace(0, 1, self.num_steps)
+            sig = (smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+            # map back to nearest timesteps (diffusers _sigma_to_t log-interp)
+            log_all = np.log(all_sigmas)
+            new_ts = np.interp(np.log(sig), log_all, np.arange(len(all_sigmas))).round()
+            self.timesteps = jnp.asarray(new_ts.astype(np.int64), jnp.int32)
+            sigmas = sig
+        else:
+            sigmas = all_sigmas[ts]
+        self.sigmas = jnp.asarray(np.append(sigmas, 0.0), jnp.float32)
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return float(jnp.sqrt(self.sigmas[0] ** 2 + 1))
+
+    def scale_model_input(self, state, x, i):
+        s = self.sigmas[i]
+        return x / jnp.sqrt(s ** 2 + 1)
+
+    def _to_x0(self, model_out, x, i):
+        """x here is in k-space (x = x0 + sigma*eps)."""
+        s = _bshape(self.sigmas[i][None], x.ndim)
+        pt = self.schedule.prediction_type
+        if pt == 'epsilon':
+            return x - s * model_out
+        if pt == 'v_prediction':
+            # v-pred in sigma space: x0 = x/(s^2+1) - v*s/sqrt(s^2+1)
+            return x / (s ** 2 + 1) - model_out * s / jnp.sqrt(s ** 2 + 1)
+        if pt == 'sample':
+            return model_out
+        raise ValueError(pt)
+
+
+class EulerSampler(KSamplerBase):
+    def step(self, state, model_out, i, x, rng=None):
+        s, s_next = self.sigmas[i], self.sigmas[i + 1]
+        x0 = self._to_x0(model_out, x, i)
+        d = (x - x0) / jnp.maximum(s, 1e-12)
+        x_prev = x + d * (s_next - s)
+        return x_prev, state, x0
+
+
+class EulerAncestralSampler(KSamplerBase):
+    def step(self, state, model_out, i, x, rng=None):
+        s, s_next = self.sigmas[i], self.sigmas[i + 1]
+        x0 = self._to_x0(model_out, x, i)
+        sigma_up = jnp.sqrt(jnp.maximum(
+            s_next ** 2 * (s ** 2 - s_next ** 2) / jnp.maximum(s ** 2, 1e-12), 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(s_next ** 2 - sigma_up ** 2, 0.0))
+        d = (x - x0) / jnp.maximum(s, 1e-12)
+        x_prev = x + d * (sigma_down - s)
+        if rng is not None:
+            x_prev = x_prev + jax.random.normal(rng, x.shape) * sigma_up
+        return x_prev, state, x0
+
+
+class DPMpp2MSampler(KSamplerBase):
+    """DPM-Solver++ 2M (multistep, deterministic)."""
+
+    def init_state(self, shape):
+        return jnp.zeros(shape, jnp.float32)  # previous x0 prediction
+
+    def step(self, state, model_out, i, x, rng=None):
+        s, s_next = self.sigmas[i], self.sigmas[i + 1]
+        x0 = self._to_x0(model_out, x, i)
+        t_fn = lambda sig: -jnp.log(jnp.maximum(sig, 1e-12))
+        t, t_next = t_fn(s), t_fn(s_next)
+        h = t_next - t
+        is_first = (i == 0)
+        s_prev = self.sigmas[jnp.maximum(i - 1, 0)]
+        h_last = t - t_fn(s_prev)
+        r = h_last / jnp.where(h == 0, 1.0, h)
+        denom = jnp.where(is_first | (r == 0), 1.0, 2.0 * r)
+        x0_mix = jnp.where(is_first, x0,
+                           (1 + 1 / denom) * x0 - (1 / denom) * state)
+        ratio = s_next / jnp.maximum(s, 1e-12)
+        x_prev = ratio * x - jnp.expm1(-h) * x0_mix
+        x_prev = jnp.where(s_next == 0, x0, x_prev)
+        return x_prev, x0, x0
+
+
+class PNDMSampler(BaseSampler):
+    """PNDM (PLMS): prk warmup replaced by diffusers skip_prk (plms from
+    step 0 with eps history), the variant SD pipelines actually use."""
+
+    def init_state(self, shape):
+        return (jnp.zeros((4,) + shape, jnp.float32), jnp.zeros((), jnp.int32))
+
+    def step(self, state, model_out, i, x, rng=None):
+        ets, count = state
+        t = self.timesteps[i]
+        T = self.schedule.num_train_timesteps
+        t_prev = jnp.maximum(t - T // self.num_steps, 0)
+        _, eps = self._x0_eps(model_out, x, t)
+
+        ets = jnp.concatenate([ets[1:], eps[None]], axis=0)
+        count = count + 1
+
+        e1 = ets[-1]
+        e2 = (3 * ets[-1] - ets[-2]) / 2
+        e3 = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        e4 = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
+        eps_lms = jnp.where(count >= 4, e4, jnp.where(count == 3, e3,
+                            jnp.where(count == 2, e2, e1)))
+
+        a_t, a_prev = self._acp(t), self._acp(t_prev)
+        # pndm transfer formula
+        x_prev = (jnp.sqrt(a_prev / a_t) * x
+                  - (a_prev - a_t) * eps_lms
+                  / (jnp.sqrt(a_t) * (jnp.sqrt((1 - a_prev) * a_t)
+                                      + jnp.sqrt((1 - a_t) * a_prev))))
+        x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        return x_prev, (ets, count), x0
+
+
+class UniPCSampler(DPMpp2MSampler):
+    """Alias (2nd-order multistep predictor); full UniPC corrector TBD."""
+
+
+SAMPLERS = {
+    'ddim': DDIMSampler,
+    'ddpm': DDPMSampler,
+    'euler': EulerSampler,
+    'euler_a': EulerAncestralSampler,
+    'dpm++_2m': DPMpp2MSampler,
+    'dpmpp_2m': DPMpp2MSampler,
+    'pndm': PNDMSampler,
+    'unipc': UniPCSampler,
+}
+
+
+def make_sampler(name: str, schedule: NoiseSchedule, num_steps: int, **kw):
+    return SAMPLERS[name.lower()](schedule, num_steps, **kw)

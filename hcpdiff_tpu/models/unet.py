@@ -1,0 +1,340 @@
+"""UNet2DCondition (SD1.5 / SD2.x / SDXL) in flax — TPU-native.
+
+Design notes vs the reference (which delegates to diffusers' torch UNet,
+hcpdiff/train_ac.py:199-236):
+- NHWC layout everywhere (XLA:TPU conv-native; converters transpose OIHW).
+- ControlNet is NOT hook-based (reference hcpdiff/models/controlnet.py:11-187
+  uses MultiPluginBlock hooks); the UNet forward takes explicit
+  ``down_residuals``/``mid_residual`` taps, which is both simpler and
+  jit-friendly (SURVEY.md §7 translation decision).
+- optional ``remat`` per block trades FLOPs for HBM (grad checkpointing,
+  reference train_ac.py:44-47 monkeypatch).
+- attention (self + cross) routes through ops.attention (Pallas flash kernel
+  on TPU).
+- SDXL 'text_time' additional embedding (pooled text + crop/size time_ids)
+  per hcpdiff/models/wrapper.py:57-96.
+
+One config class covers all three model families plus tiny test models.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from .layers import GroupNorm, timestep_embedding
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: Tuple[str, ...] = ('CrossAttnDownBlock2D',) * 3 + ('DownBlock2D',)
+    up_block_types: Tuple[str, ...] = ('UpBlock2D',) + ('CrossAttnUpBlock2D',) * 3
+    layers_per_block: int = 2
+    transformer_layers_per_block: Tuple[int, ...] = (1, 1, 1, 1)
+    num_heads: Tuple[int, ...] = (8, 8, 8, 8)
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    addition_embed_type: Optional[str] = None       # 'text_time' for SDXL
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816
+    mid_cross_attn: bool = True
+
+    @classmethod
+    def sd15(cls) -> 'UNetConfig':
+        return cls()
+
+    @classmethod
+    def sd21(cls) -> 'UNetConfig':
+        return cls(cross_attention_dim=1024, num_heads=(5, 10, 20, 20))
+
+    @classmethod
+    def sdxl(cls) -> 'UNetConfig':
+        return cls(block_out_channels=(320, 640, 1280),
+                   down_block_types=('DownBlock2D', 'CrossAttnDownBlock2D', 'CrossAttnDownBlock2D'),
+                   up_block_types=('CrossAttnUpBlock2D', 'CrossAttnUpBlock2D', 'UpBlock2D'),
+                   transformer_layers_per_block=(1, 2, 10),
+                   num_heads=(5, 10, 20),
+                   cross_attention_dim=2048,
+                   addition_embed_type='text_time',
+                   projection_class_embeddings_input_dim=2816)
+
+    @classmethod
+    def tiny(cls, cross_attention_dim: int = 32, **kw) -> 'UNetConfig':
+        base = dict(block_out_channels=(32, 64),
+                    down_block_types=('CrossAttnDownBlock2D', 'DownBlock2D'),
+                    up_block_types=('UpBlock2D', 'CrossAttnUpBlock2D'),
+                    layers_per_block=1,
+                    transformer_layers_per_block=(1, 1),
+                    num_heads=(2, 4),
+                    cross_attention_dim=cross_attention_dim,
+                    norm_num_groups=8)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def tiny_sdxl(cls, **kw) -> 'UNetConfig':
+        base = dict(block_out_channels=(32, 64),
+                    down_block_types=('DownBlock2D', 'CrossAttnDownBlock2D'),
+                    up_block_types=('CrossAttnUpBlock2D', 'UpBlock2D'),
+                    layers_per_block=1,
+                    transformer_layers_per_block=(1, 1),
+                    num_heads=(2, 4),
+                    cross_attention_dim=32,
+                    norm_num_groups=8,
+                    addition_embed_type='text_time',
+                    addition_time_embed_dim=8,
+                    projection_class_embeddings_input_dim=8 * 6 + 32)
+        base.update(kw)
+        return cls(**base)
+
+
+def _dense(features, dtype, name, use_bias=True):
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    param_dtype=jnp.float32, name=name)
+
+
+def _conv(features, kernel, dtype, name, stride=1, padding='SAME'):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=padding, dtype=dtype, param_dtype=jnp.float32,
+                   name=name)
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    groups: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        in_c = x.shape[-1]
+        h = GroupNorm(self.groups, dtype=self.dtype, name='norm1')(x)
+        h = jax.nn.silu(h)
+        h = _conv(self.out_channels, 3, self.dtype, 'conv1')(h)
+        t = _dense(self.out_channels, self.dtype, 'time_emb_proj')(jax.nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, dtype=self.dtype, name='norm2')(h)
+        h = jax.nn.silu(h)
+        h = _conv(self.out_channels, 3, self.dtype, 'conv2')(h)
+        if in_c != self.out_channels:
+            x = _conv(self.out_channels, 1, self.dtype, 'conv_shortcut')(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """to_q/to_k/to_v/to_out naming mirrors diffusers for converter parity."""
+    query_dim: int
+    heads: int
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        ctx = x if context is None else context
+        B, S, _ = x.shape
+        Sk = ctx.shape[1]
+        h = self.heads
+        d = self.query_dim // h
+        q = _dense(self.query_dim, self.dtype, 'to_q', use_bias=False)(x)
+        k = _dense(self.query_dim, self.dtype, 'to_k', use_bias=False)(ctx)
+        v = _dense(self.query_dim, self.dtype, 'to_v', use_bias=False)(ctx)
+        q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Sk, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Sk, h, d).transpose(0, 2, 1, 3)
+        o = attention(q, k, v, bias=bias)
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, self.query_dim)
+        return _dense(self.query_dim, self.dtype, 'to_out')(o)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        h = _dense(inner * 2, self.dtype, 'proj')(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate)
+        return _dense(self.dim, self.dtype, 'out')(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    context_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
+                 context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype,
+                               name='attn1')(ln('norm1')(x))
+        x = x + CrossAttention(self.dim, self.heads, self.context_dim, dtype=self.dtype,
+                               name='attn2')(ln('norm2')(x), context, bias=context_bias)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name='ff')(ln('norm3')(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    channels: int
+    heads: int
+    depth: int
+    context_dim: int
+    groups: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
+                 context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        residual = x
+        h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name='norm')(x)
+        h = _dense(self.channels, self.dtype, 'proj_in')(h.reshape(B, H * W, C))
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.channels, self.heads, self.context_dim,
+                                      dtype=self.dtype,
+                                      name=f'transformer_blocks_{i}')(h, context, context_bias)
+        h = _dense(self.channels, self.dtype, 'proj_out')(h)
+        return h.reshape(B, H, W, C) + residual
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # diffusers pads (0,1,0,1) then uses VALID stride-2 conv
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return _conv(self.channels, 3, self.dtype, 'conv', stride=2, padding='VALID')(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method='nearest')
+        return _conv(self.channels, 3, self.dtype, 'conv')(x)
+
+
+class UNet2DCondition(nn.Module):
+    cfg: UNetConfig
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    def _maybe_remat(self, cls):
+        return nn.remat(cls) if self.remat else cls
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
+                 encoder_hidden_states: jnp.ndarray,
+                 pooled_text_emb: Optional[jnp.ndarray] = None,
+                 time_ids: Optional[jnp.ndarray] = None,
+                 encoder_attention_mask: Optional[jnp.ndarray] = None,
+                 down_residuals: Optional[Sequence[jnp.ndarray]] = None,
+                 mid_residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        c = self.cfg
+        Res = self._maybe_remat(ResnetBlock2D)
+        Tfm = self._maybe_remat(Transformer2D)
+
+        ctx = encoder_hidden_states.astype(self.dtype)
+        ctx_bias = None
+        if encoder_attention_mask is not None:
+            neg = jnp.finfo(jnp.float32).min
+            ctx_bias = jnp.where(encoder_attention_mask[:, None, None, :].astype(bool),
+                                 0.0, neg)
+
+        # --- time embedding (fp32 trig, cast after the MLP) ---
+        tdim = c.block_out_channels[0] * 4
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.full((sample.shape[0],), timesteps)
+        temb = timestep_embedding(timesteps, c.block_out_channels[0])
+        temb = _dense(tdim, jnp.float32, 'time_embedding_linear_1')(temb)
+        temb = _dense(tdim, jnp.float32, 'time_embedding_linear_2')(jax.nn.silu(temb))
+
+        if c.addition_embed_type == 'text_time':
+            assert pooled_text_emb is not None and time_ids is not None, \
+                'SDXL needs pooled_text_emb and time_ids'
+            t_emb = timestep_embedding(time_ids.reshape(-1), c.addition_time_embed_dim)
+            t_emb = t_emb.reshape(sample.shape[0], -1)
+            add = jnp.concatenate([pooled_text_emb.astype(jnp.float32), t_emb], axis=-1)
+            add = _dense(tdim, jnp.float32, 'add_embedding_linear_1')(add)
+            add = _dense(tdim, jnp.float32, 'add_embedding_linear_2')(jax.nn.silu(add))
+            temb = temb + add
+        temb = temb.astype(self.dtype)
+
+        x = sample.astype(self.dtype)
+        x = _conv(c.block_out_channels[0], 3, self.dtype, 'conv_in')(x)
+
+        # --- down blocks ---
+        skips = [x]
+        n_blocks = len(c.block_out_channels)
+        for bi, (btype, out_c) in enumerate(zip(c.down_block_types, c.block_out_channels)):
+            for li in range(c.layers_per_block):
+                x = Res(out_c, c.norm_num_groups, dtype=self.dtype,
+                        name=f'down_{bi}_res_{li}')(x, temb)
+                if btype == 'CrossAttnDownBlock2D':
+                    x = Tfm(out_c, c.num_heads[bi],
+                            c.transformer_layers_per_block[bi],
+                            c.cross_attention_dim, c.norm_num_groups,
+                            dtype=self.dtype,
+                            name=f'down_{bi}_attn_{li}')(x, ctx, ctx_bias)
+                skips.append(x)
+            if bi < n_blocks - 1:
+                x = Downsample2D(out_c, dtype=self.dtype, name=f'down_{bi}_downsample')(x)
+                skips.append(x)
+
+        # ControlNet taps: residuals added to every skip + mid
+        if down_residuals is not None:
+            skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_residuals)]
+            x = skips[-1] if len(down_residuals) == len(skips) else x
+
+        # --- mid ---
+        mid_c = c.block_out_channels[-1]
+        x = Res(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_res_0')(x, temb)
+        if c.mid_cross_attn:
+            x = Tfm(mid_c, c.num_heads[-1],
+                    c.transformer_layers_per_block[-1],
+                    c.cross_attention_dim, c.norm_num_groups,
+                    dtype=self.dtype, name='mid_attn')(x, ctx, ctx_bias)
+        x = Res(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_res_1')(x, temb)
+        if mid_residual is not None:
+            x = x + mid_residual.astype(x.dtype)
+
+        # --- up blocks ---
+        rev_channels = list(reversed(c.block_out_channels))
+        for bi, btype in enumerate(c.up_block_types):
+            out_c = rev_channels[bi]
+            for li in range(c.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = Res(out_c, c.norm_num_groups, dtype=self.dtype,
+                        name=f'up_{bi}_res_{li}')(x, temb)
+                if btype == 'CrossAttnUpBlock2D':
+                    x = Tfm(out_c, c.num_heads[len(rev_channels) - 1 - bi],
+                            c.transformer_layers_per_block[len(rev_channels) - 1 - bi],
+                            c.cross_attention_dim, c.norm_num_groups,
+                            dtype=self.dtype,
+                            name=f'up_{bi}_attn_{li}')(x, ctx, ctx_bias)
+            if bi < len(c.up_block_types) - 1:
+                x = Upsample2D(out_c, dtype=self.dtype, name=f'up_{bi}_upsample')(x)
+
+        x = GroupNorm(c.norm_num_groups, dtype=self.dtype, name='conv_norm_out')(x)
+        x = jax.nn.silu(x)
+        x = _conv(c.out_channels, 3, self.dtype, 'conv_out')(x)
+        return x.astype(jnp.float32)
