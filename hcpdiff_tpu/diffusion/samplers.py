@@ -136,10 +136,11 @@ class KSamplerBase(BaseSampler):
         else:
             sigmas = all_sigmas[ts]
         self.sigmas = jnp.asarray(np.append(sigmas, 0.0), jnp.float32)
+        self._init_noise_sigma = float(np.sqrt(float(sigmas[0]) ** 2 + 1))
 
     @property
     def init_noise_sigma(self) -> float:
-        return float(jnp.sqrt(self.sigmas[0] ** 2 + 1))
+        return self._init_noise_sigma
 
     def scale_model_input(self, state, x, i):
         s = self.sigmas[i]

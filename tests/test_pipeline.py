@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from helpers import tiny_world, make_pipeline
+
+
+@pytest.fixture(scope='module')
+def world():
+    return tiny_world()
+
+
+@pytest.fixture(scope='module')
+def pipe(world):
+    return make_pipeline(world)
+
+
+def test_txt2img_e2e(pipe):
+    img = pipe.txt2img('a photo of cat', negative_prompt='dog',
+                       width=32, height=32, num_steps=4, sampler='ddim', seed=7)
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_txt2img_seed_determinism(pipe):
+    a = pipe.txt2img('cat', width=32, height=32, num_steps=2, seed=3,
+                     sampler='euler', return_latents=True)
+    b = pipe.txt2img('cat', width=32, height=32, num_steps=2, seed=3,
+                     sampler='euler', return_latents=True)
+    c = pipe.txt2img('cat', width=32, height=32, num_steps=2, seed=4,
+                     sampler='euler', return_latents=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_guidance_scale_matters(pipe):
+    a = pipe.txt2img('cat', width=32, height=32, num_steps=2, seed=3,
+                     guidance_scale=1.0, return_latents=True)
+    b = pipe.txt2img('cat', width=32, height=32, num_steps=2, seed=3,
+                     guidance_scale=9.0, return_latents=True)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_img2img(pipe):
+    init = jnp.zeros((1, 16, 16, 4))
+    img = pipe.img2img(init, 'a painting', strength=0.5, num_steps=4,
+                       sampler='ddim', seed=1)
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(img).all()
+
+
+def test_inpaint(pipe):
+    init = jnp.zeros((1, 16, 16, 4))
+    mask = jnp.zeros((1, 16, 16, 1)).at[:, :8].set(1.0)
+    img = pipe.inpaint(init, mask, 'cat', strength=0.5, num_steps=4,
+                       sampler='ddim', seed=1)
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(img).all()
+
+
+def test_vae_encode_decode_cycle(pipe):
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3)) * 0.2, -1, 1)
+    z = pipe.encode(x)
+    assert z.shape == (1, 16, 16, 4)
+    img = pipe.decode(z)
+    assert img.shape == (1, 32, 32, 3)
+
+
+def test_n_repeats_long_prompt(world):
+    from helpers import make_pipeline
+    from hcpdiff_tpu.models.text_frontend import TextEncoderFrontend
+    fe2 = TextEncoderFrontend(world['tokenizer'], world['te'], world['te_params'],
+                              n_repeats=2)
+    hidden, pooled = fe2.encode(['cat ' * 120])
+    assert hidden.shape[1] == 2 * 75 + 2
+    assert np.isfinite(np.asarray(hidden)).all()
+
+
+def test_clip_skip_changes_embedding(world):
+    from hcpdiff_tpu.models.text_frontend import TextEncoderFrontend
+    fe0 = TextEncoderFrontend(world['tokenizer'], world['te'], world['te_params'])
+    fe1 = TextEncoderFrontend(world['tokenizer'], world['te'], world['te_params'],
+                              clip_skip=1)
+    h0, _ = fe0.encode(['cat'])
+    h1, _ = fe1.encode(['cat'])
+    assert not np.allclose(np.asarray(h0), np.asarray(h1), atol=1e-5)
