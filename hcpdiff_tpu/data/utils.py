@@ -1,0 +1,63 @@
+"""Image crop/resize utilities (reference hcpdiff/data/utils.py:26-64).
+
+numpy/PIL only — the host-side data path stays torch-free.
+Returns crop coordinates so SDXL crop-info conditioning works
+(reference hcpdiff/data/crop_info_dataset.py:21).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def resize_crop_fix(img: Image.Image, size: Tuple[int, int],
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Tuple[Image.Image, dict]:
+    """Resize so the target fits, then center (or seeded-random) crop.
+    size = (w, h). Returns (image, {crop_coord, original_size})."""
+    w0, h0 = img.size
+    tw, th = size
+    scale = max(tw / w0, th / h0)
+    nw, nh = round(w0 * scale), round(h0 * scale)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    if rng is not None:
+        x0 = int(rng.integers(0, max(nw - tw, 0) + 1))
+        y0 = int(rng.integers(0, max(nh - th, 0) + 1))
+    else:
+        x0, y0 = (nw - tw) // 2, (nh - th) // 2
+    img = img.crop((x0, y0, x0 + tw, y0 + th))
+    return img, {'crop_coord': (x0, y0), 'original_size': (w0, h0),
+                 'target_size': (tw, th)}
+
+
+def pad_crop_fix(img: Image.Image, size: Tuple[int, int]
+                 ) -> Tuple[Image.Image, dict]:
+    """Resize to fit inside, pad the rest (no content loss)."""
+    w0, h0 = img.size
+    tw, th = size
+    scale = min(tw / w0, th / h0)
+    nw, nh = round(w0 * scale), round(h0 * scale)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    canvas = Image.new(img.mode, (tw, th))
+    x0, y0 = (tw - nw) // 2, (th - nh) // 2
+    canvas.paste(img, (x0, y0))
+    return canvas, {'crop_coord': (0, 0), 'original_size': (w0, h0),
+                    'target_size': (tw, th), 'pad_coord': (x0, y0)}
+
+
+def to_model_input(img: Image.Image) -> np.ndarray:
+    """PIL -> float32 NHWC in [-1, 1]."""
+    arr = np.asarray(img.convert('RGB'), np.float32) / 127.5 - 1.0
+    return arr
+
+
+def composite_rgba(img: Image.Image, bg_color=(255, 255, 255)) -> Image.Image:
+    """Composite transparent images onto a background
+    (reference data/source/text2img.py RGBA handling)."""
+    if img.mode in ('RGBA', 'LA', 'P'):
+        img = img.convert('RGBA')
+        bg = Image.new('RGBA', img.size, bg_color + (255,))
+        img = Image.alpha_composite(bg, img)
+    return img.convert('RGB')
