@@ -1,0 +1,182 @@
+"""Checkpoint dict formats — bit-compatible with the reference's layouts
+(SURVEY.md §7 hard part 1).
+
+- nested<->flat fold/unfold with ':'-joined keys for safetensors
+  (reference ckpt_manager/ckpt_safetensor.py:17-63)
+- the ``.___.`` plugin/LoRA key scheme: state keys are
+  ``<host_layer_path>.___.<param_path>`` with the plugin name erased for
+  portability (reference models/plugin.py:317-348 PluginGroup.state_dict)
+- webui embedding format: {'string_to_param': {'*': tensor}, 'name': ...}
+  (reference utils/net_utils.py:145-170 load_emb/save_emb)
+- kohya/webui LoRA key conversion incl. alpha rescale
+  (reference tools/lora_convert.py:9-246)
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+SEP = ':'
+PLACEHOLDER = '.___.'
+
+
+# ---------------------------------------------------------- fold/unfold ----
+
+def unfold_dict(nested: Dict[str, Any], sep: str = SEP) -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f'{prefix}{sep}{k}' if prefix else str(k))
+        else:
+            flat[prefix] = np.ascontiguousarray(np.asarray(node))
+
+    walk(nested, '')
+    return flat
+
+
+def fold_dict(flat: Dict[str, Any], sep: str = SEP) -> Dict[str, Any]:
+    nested: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split(sep)
+        node = nested
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(v)
+    return nested
+
+
+# ----------------------------------------------------- safetensors io ----
+
+def save_safetensors(flat: Dict[str, np.ndarray], path: str,
+                     metadata: Optional[Dict[str, str]] = None) -> None:
+    from safetensors.numpy import save_file
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()}, path,
+              metadata=metadata)
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+    return load_file(path)
+
+
+# ---------------------------------------------------- lora <-> hcp keys ----
+
+def lora_overlay_to_state(overlay: Dict[str, dict],
+                          host_prefix: str = '') -> Dict[str, np.ndarray]:
+    """Our overlay {layer_path: {down, up, alpha}} -> reference-style state
+    dict with ``.___.`` placeholder keys. Tensor layout follows the
+    reference (W_down [r, in], W_up [out, r]) so checkpoints interchange:
+    ours are [in, r]/[r, out] -> transpose on the way out."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, entry in overlay.items():
+        host = (host_prefix + path) if host_prefix else path
+        sd[f'{host}{PLACEHOLDER}layer.W_down'] = np.asarray(entry['down']).T
+        sd[f'{host}{PLACEHOLDER}layer.W_up'] = np.asarray(entry['up']).T
+        sd[f'{host}{PLACEHOLDER}alpha'] = np.asarray(entry['alpha'], np.float32)
+    return sd
+
+
+def lora_state_to_overlay(sd: Dict[str, np.ndarray],
+                          host_prefix: str = '') -> Dict[str, dict]:
+    overlay: Dict[str, dict] = {}
+    for key, v in sd.items():
+        if PLACEHOLDER not in key:
+            continue
+        host, param = key.split(PLACEHOLDER, 1)
+        if host_prefix:
+            if not host.startswith(host_prefix):
+                continue
+            host = host[len(host_prefix):]
+        e = overlay.setdefault(host, {})
+        if param.endswith('W_down'):
+            e['down'] = np.asarray(v).T
+        elif param.endswith('W_up'):
+            e['up'] = np.asarray(v).T
+        elif param.endswith('alpha'):
+            e['alpha'] = np.asarray(v, np.float32).reshape(())
+    for host, e in overlay.items():
+        e.setdefault('alpha', np.asarray(1.0, np.float32))
+    return overlay
+
+
+# ------------------------------------------------------ webui embedding ----
+
+def save_webui_embedding(path: str, vectors: np.ndarray, name: str,
+                         step: Optional[int] = None) -> None:
+    """webui .pt format via torch (reference net_utils.py save_emb)."""
+    import torch
+    obj = {'string_to_param': {'*': torch.tensor(np.asarray(vectors))},
+           'name': name, 'step': step}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(obj, path)
+
+
+def load_webui_embedding(path: str) -> Tuple[str, np.ndarray]:
+    import torch
+    obj = torch.load(path, map_location='cpu', weights_only=False)
+    if 'string_to_param' in obj:
+        t = obj['string_to_param']['*']
+        name = obj.get('name') or os.path.splitext(os.path.basename(path))[0]
+    elif 'emb_params' in obj:
+        t = obj['emb_params']
+        name = os.path.splitext(os.path.basename(path))[0]
+    else:  # bare tensor
+        t = obj
+        name = os.path.splitext(os.path.basename(path))[0]
+    return name, t.detach().cpu().float().numpy()
+
+
+# -------------------------------------------------- kohya/webui LoRA ----
+
+def _kohya_module_name(layer_path: str, prefix: str) -> str:
+    """our flax layer path -> kohya module name (diffusers torch path with
+    dots->underscores, 'lora_unet_' / 'lora_te_' prefix)."""
+    return prefix + layer_path.replace('.', '_')
+
+
+def overlay_to_kohya(overlay: Dict[str, dict], torch_paths: Dict[str, str],
+                     prefix: str = 'lora_unet') -> Dict[str, np.ndarray]:
+    """overlay + {flax_path: torch_module_path} -> kohya-format state dict
+    (lora_down.weight [r,in], lora_up.weight [out,r], alpha)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, entry in overlay.items():
+        tp = torch_paths.get(path, path)
+        base = f'{prefix}_{tp.replace(".", "_")}'
+        down = np.asarray(entry['down']).T   # [r, in]
+        up = np.asarray(entry['up']).T       # [out, r]
+        sd[f'{base}.lora_down.weight'] = down
+        sd[f'{base}.lora_up.weight'] = up
+        sd[f'{base}.alpha'] = np.asarray(entry['alpha'], np.float32)
+    return sd
+
+
+def kohya_to_overlay(sd: Dict[str, np.ndarray], flax_paths: Dict[str, str],
+                     prefix: str = 'lora_unet') -> Dict[str, dict]:
+    """Inverse: kohya keys -> overlay using {torch_module_path: flax_path}."""
+    tmp: Dict[str, dict] = {}
+    for key, v in sd.items():
+        if not key.startswith(prefix + '_'):
+            continue
+        rest = key[len(prefix) + 1:]
+        for suffix, field in (('.lora_down.weight', 'down'),
+                              ('.lora_up.weight', 'up'), ('.alpha', 'alpha')):
+            if rest.endswith(suffix):
+                mod = rest[:-len(suffix)]
+                e = tmp.setdefault(mod, {})
+                e[field] = np.asarray(v)
+    out: Dict[str, dict] = {}
+    und2torch = {tp.replace('.', '_'): fp for tp, fp in flax_paths.items()}
+    for mod, e in tmp.items():
+        fp = und2torch.get(mod)
+        if fp is None:
+            continue
+        entry = {'down': e['down'].T, 'up': e['up'].T,
+                 'alpha': np.asarray(e.get('alpha', e['down'].shape[0]),
+                                     np.float32).reshape(())}
+        out[fp] = entry
+    return out

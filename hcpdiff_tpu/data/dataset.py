@@ -33,7 +33,7 @@ class TextImagePairDataset:
                  loss_weight: float = 1.0, random_crop: bool = True,
                  dream_artist: bool = False, with_crop_info: bool = False):
         self.source = source
-        self.bucket = bucket or FixedBucket(512)
+        self.bucket = FixedBucket(512) if bucket is None else bucket
         self.frontend = frontend
         self.vae_scale = vae_scale
         self.want_cache = cache_latents
