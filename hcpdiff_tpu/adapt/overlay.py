@@ -41,27 +41,56 @@ def module_paths(params: Any) -> List[str]:
                    if k.endswith('.kernel')})
 
 
-def get_match_layers(patterns: Iterable[str], candidates: Sequence[str]) -> List[str]:
-    """Resolve config layer patterns -> ordered unique module paths.
+def _ancestors(path: str) -> List[str]:
+    parts = path.split('.')
+    return ['.'.join(parts[:i]) for i in range(1, len(parts) + 1)]
 
-    - ``re:<regex>``: regex search over candidate paths
-    - plain string: exact match or prefix match (reference named_modules
-      behavior: selecting a parent selects nothing by itself; we treat a
-      prefix as selecting all kernel-bearing children, which is the
-      practically-used semantics of the reference's class filters).
+
+def get_match_layers(patterns: Iterable[str], candidates: Sequence[str],
+                     aliases: Optional[Dict[str, str]] = None) -> List[str]:
+    """Resolve config layer patterns -> ordered unique kernel-module paths.
+
+    Reference-selector parity (hcpdiff/utils/cfg_net_tools.py:24-75 +
+    WrapablePlugin.wrap_model plugin.py:60-105):
+    - ``re:<regex>``: regex search over module paths AND their ancestors;
+      a hit on a parent module (e.g. ``re:.*\\.ff$``) expands to every
+      kernel-bearing (Linear/Conv) descendant — matching the reference's
+      "wrap every wrapable child" behavior.
+    - plain string: exact/prefix match, same expansion.
+    - ``aliases``: {flax_path: reference_torch_path}; patterns written
+      against the reference's diffusers module names (all shipped yamls)
+      match through the alias, so reference configs run unmodified
+      (SURVEY.md §7 hard part 3).
     """
     if isinstance(patterns, str):
         patterns = [patterns]
+    aliases = aliases or {}
+    # every name (flax + alias) that can match, mapped back to kernel paths
+    name_to_kernels: Dict[str, List[str]] = {}
+    for c in candidates:
+        names = set(_ancestors(c))
+        alias = aliases.get(c)
+        if alias:
+            names.update(_ancestors(alias))
+        for n in names:
+            name_to_kernels.setdefault(n, []).append(c)
+    all_names = sorted(name_to_kernels)
+
     out: List[str] = []
     for pat in patterns:
+        if pat.startswith('pre_hook:'):
+            pat = pat[len('pre_hook:'):]
         if pat.startswith('re:'):
             rx = re.compile(pat[3:])
-            hits = [c for c in candidates if rx.search(c)]
+            hit_names = [n for n in all_names if rx.search(n)]
         else:
-            hits = [c for c in candidates if c == pat or c.startswith(pat + '.')]
-        for h in hits:
-            if h not in out:
-                out.append(h)
+            hit_names = [n for n in all_names if n == pat]
+            if not hit_names:
+                hit_names = [n for n in all_names if n.startswith(pat + '.')]
+        for n in hit_names:
+            for k in name_to_kernels[n]:
+                if k not in out:
+                    out.append(k)
     return out
 
 
@@ -111,7 +140,8 @@ def resolve_rank(rank, fan_out: int) -> int:
 
 
 def make_lora_overlay(rng: jax.Array, params: Any, layer_specs: Sequence[dict],
-                      candidates: Optional[Sequence[str]] = None
+                      candidates: Optional[Sequence[str]] = None,
+                      aliases: Optional[Dict[str, str]] = None
                       ) -> Tuple[PathDict, Dict[str, float]]:
     """Build a LoRA overlay pytree from config specs.
 
@@ -124,7 +154,7 @@ def make_lora_overlay(rng: jax.Array, params: Any, layer_specs: Sequence[dict],
     overlay: PathDict = {}
     scales: Dict[str, float] = {}
     for spec in layer_specs:
-        layers = get_match_layers(spec.get('layers', []), candidates)
+        layers = get_match_layers(spec.get('layers', []), candidates, aliases)
         rank = spec.get('rank', 8)
         alpha = float(spec.get('alpha', 1.0))
         scale = float(spec.get('scale', 1.0))
@@ -196,11 +226,12 @@ def collapse_overlay(params: Any, overlay: PathDict,
 
 # ----------------------------------------------------- trainable masking ----
 
-def trainable_mask(params: Any, train_patterns: Sequence[str]) -> Any:
+def trainable_mask(params: Any, train_patterns: Sequence[str],
+                   aliases: Optional[Dict[str, str]] = None) -> Any:
     """Boolean pytree: True where the param is trainable (layer-wise
     fine-tune config, reference cfg_net_tools make_hcpdiff 'train' items)."""
     candidates = module_paths(params)
-    selected = set(get_match_layers(train_patterns, candidates))
+    selected = set(get_match_layers(train_patterns, candidates, aliases))
     flat = flatten_params(params)
     mask_flat = {}
     for key in flat:

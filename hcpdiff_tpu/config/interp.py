@@ -57,9 +57,9 @@ _DEFERRED_PREFIXES = ('hcp.from_memory',)
 _PATTERN = re.compile(r'\$\{([^${}]+)\}')
 
 
-def _resolve_expr(expr: str, root: Cfg) -> Any:
+def _resolve_expr(expr: str, root: Cfg, here: tuple) -> Any:
     expr = expr.strip()
-    if ':' in expr:
+    if ':' in expr and not expr.startswith('.'):
         name, _, arg = expr.partition(':')
         name = name.strip()
         if name in _RESOLVERS:
@@ -68,6 +68,14 @@ def _resolve_expr(expr: str, root: Cfg) -> Any:
                 arg = arg[1:-1]
             return _RESOLVERS[name](arg) if arg != '' else _RESOLVERS[name]()
         raise KeyError(f'unknown config resolver: {name}')
+    if expr.startswith('.'):
+        # OmegaConf relative paths: ${.x} = sibling, ${..x} = parent's sibling
+        ups = len(expr) - len(expr.lstrip('.'))
+        rest = expr.lstrip('.')
+        # ${.x} -> container.x ; ${..x} -> container-parent.x ; etc.
+        drop = ups - 1
+        base = here[:len(here) - drop] if drop <= len(here) else ()
+        expr = '.'.join(list(base) + ([rest] if rest else []))
     sentinel = object()
     val = root.get_path(expr, sentinel)
     if val is sentinel:
@@ -75,7 +83,7 @@ def _resolve_expr(expr: str, root: Cfg) -> Any:
     return val
 
 
-def _resolve_value(value: Any, root: Cfg, depth: int = 0) -> Any:
+def _resolve_value(value: Any, root: Cfg, here: tuple = (), depth: int = 0) -> Any:
     if not isinstance(value, str) or '${' not in value:
         return value
     if depth > 20:
@@ -84,28 +92,31 @@ def _resolve_value(value: Any, root: Cfg, depth: int = 0) -> Any:
         return value  # resolved at workflow runtime
     m = _PATTERN.fullmatch(value)
     if m:  # whole-string interpolation keeps the native type
-        out = _resolve_expr(m.group(1), root)
-        return _resolve_value(out, root, depth + 1)
+        out = _resolve_expr(m.group(1), root, here)
+        return _resolve_value(out, root, here, depth + 1)
 
     def sub(mm: re.Match) -> str:
-        return str(_resolve_value('${%s}' % mm.group(1), root, depth + 1))
+        return str(_resolve_value('${%s}' % mm.group(1), root, here, depth + 1))
 
     out = _PATTERN.sub(sub, value)
-    return _resolve_value(out, root, depth + 1) if '${' in out else out
+    return _resolve_value(out, root, here, depth + 1) if '${' in out else out
 
 
 def resolve(cfg: Cfg) -> Cfg:
-    """Eagerly resolve all interpolations in the tree (in place)."""
+    """Eagerly resolve all interpolations in the tree (in place).
 
-    def walk(node: Any) -> Any:
+    Relative paths are resolved against the *parent container* of the value
+    (OmegaConf semantics: ``${.k}`` is a sibling key)."""
+
+    def walk(node: Any, here: tuple) -> Any:
         if isinstance(node, dict):
             for k in list(node.keys()):
-                node[k] = walk(node[k])
+                node[k] = walk(node[k], here + (str(k),))
             return node
         if isinstance(node, list):
             for i, v in enumerate(node):
-                node[i] = walk(v)
+                node[i] = walk(v, here + (str(i),))
             return node
-        return _resolve_value(node, cfg)
+        return _resolve_value(node, cfg, here[:-1])
 
-    return walk(cfg)
+    return walk(cfg, ())
