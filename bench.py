@@ -20,7 +20,14 @@ BASELINE_IMG_PER_S = 2.5
 
 
 def main():
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
     import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ['JAX_COMPILATION_CACHE_DIR'])
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from hcpdiff_tpu.diffusion.samplers import make_sampler

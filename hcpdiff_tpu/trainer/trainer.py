@@ -1,0 +1,436 @@
+"""Config-driven Trainer — the ``train_ac``-equivalent entry point
+(reference hcpdiff/train_ac.py:49-557, single-card variant
+train_ac_single.py, DeepSpeed/Colossal variants subsumed by the mesh layer).
+
+Lifecycle (mirrors SURVEY.md §3.1):
+  cfg -> exp_dir + frozen cfg.yaml -> loggers -> models (factory) ->
+  prompt-tuning embeddings -> datasets/buckets (+latent cache) ->
+  trainable pack (layer-wise ft / LoRA / embeddings, DreamArtist branches) ->
+  optimizers + schedules -> mesh + jitted train_step per bucket shape ->
+  loop: log / save (safetensors reference formats + orbax resume).
+
+CLI:  python -m hcpdiff_tpu.train --cfg cfgs/train/examples/X.yaml k=v
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..adapt.overlay import (make_lora_overlay, module_paths, trainable_mask)
+from ..config import Cfg, load, save_config, to_plain
+from ..config.instantiate import instantiate, locate
+from ..ckpt.formats import load_webui_embedding
+from ..ckpt.manager import CkptManagerPKL, CkptManagerSafe, OrbaxCkptManager
+from ..data.buckets import BUCKETS, FixedBucket, RatioBucket
+from ..data.dataset import DataGroup, TextImagePairDataset
+from ..data.sources import Text2ImageSource
+from ..diffusion.losses import LOSSES, MSELoss, MinSNRLoss
+from ..diffusion.schedules import NoiseSchedule
+from ..loggers import build_loggers
+from ..models.factory import build_models
+from ..models.text_frontend import TextEncoderFrontend
+from ..parallel.mesh import (is_main_process, make_mesh, replicate,
+                             shard_batch)
+from ..trainer.assemble import extract_subset
+from ..trainer.optimizers import make_optimizer, make_schedule
+from ..trainer.step import (StepConfig, build_train_step, init_train_state,
+                            split_pack)
+from ..utils.cfg_parse import get_cfg_range
+
+
+class Trainer:
+    def __init__(self, cfgs: Cfg):
+        self.cfgs = cfgs
+        self.exp_dir = cfgs.get('exp_dir', f'exps/{time.strftime("%Y-%m-%d-%H-%M-%S")}')
+        if is_main_process():
+            os.makedirs(self.exp_dir, exist_ok=True)
+            os.makedirs(os.path.join(self.exp_dir, 'ckpts'), exist_ok=True)
+            save_config(cfgs, os.path.join(self.exp_dir, 'cfg.yaml'))
+        self.loggers = build_loggers(cfgs.get('logger'), self.exp_dir)
+        self.seed = int(cfgs.get('seed', 42)) + jax.process_index()
+
+        self.mesh = make_mesh()
+        self.world_size = self.mesh.devices.size
+
+        self.build_model()
+        self.make_hooks()
+        self.build_dataset()
+        self.build_trainables()
+        self.build_optimizer_scheduler()
+        self.build_ckpt_manager()
+        self.load_resume()
+
+        tcfg = cfgs.get('train', Cfg())
+        self.train_steps = int(tcfg.get('train_steps', 1000))
+        self.save_step = int(tcfg.get('save_step', 100))
+        self.grad_accum = int(tcfg.get('gradient_accumulation_steps', 1))
+
+        self.make_train_step()
+
+    # ------------------------------------------------------------ build ----
+    def build_model(self):
+        mcfg = self.cfgs.get('model', Cfg())
+        self.dtype = {'fp16': jnp.bfloat16, 'bf16': jnp.bfloat16,
+                      'fp32': jnp.float32, None: jnp.bfloat16,
+                      'no': jnp.float32}.get(self.cfgs.get('mixed_precision'),
+                                             jnp.bfloat16)
+        world = build_models(mcfg.get('pretrained_model_name_or_path'),
+                             dtype=self.dtype, seed=self.seed,
+                             remat=bool(mcfg.get('gradient_checkpointing', True)))
+        self.world = world
+        self.unet, self.unet_params = world['unet'], world['unet_params']
+        self.te, self.te_params = world['te'], world['te_params']
+        self.vae, self.vae_params = world['vae'], world['vae_params']
+        self.tokenizer = world['tokenizer']
+        if self.tokenizer is None:
+            from ..utils.clip_tokenizer import CLIPTokenizer
+            self.tokenizer = CLIPTokenizer.tiny()
+        self.aliases = world['aliases']
+
+        ns = mcfg.get('noise_scheduler')
+        if isinstance(ns, dict) and '_target_' in ns:
+            self.noise_schedule = instantiate(ns)
+        else:
+            self.noise_schedule = NoiseSchedule.make()
+
+        self.frontend = TextEncoderFrontend(
+            self.tokenizer, self.te, self.te_params,
+            n_repeats=int(mcfg.get('tokenizer_repeats', 1)),
+            clip_skip=int(mcfg.get('clip_skip', 0)),
+            clip_final_norm=bool(mcfg.get('clip_final_norm', True)))
+
+    def make_hooks(self):
+        """Prompt-tuning embeddings: load embs dir + register trigger words
+        (reference ComposeEmbPTHook.hook_from_dir, train_ac.py:290-298)."""
+        pt_cfg = self.cfgs.get('tokenizer_pt', Cfg()) or Cfg()
+        self.emb_rows: List[np.ndarray] = []
+        self.emb_slices: Dict[str, slice] = {}
+        self.train_emb_names = [t['name'] for t in (pt_cfg.get('train') or [])]
+        emb_dir = pt_cfg.get('emb_dir', 'embs/')
+        loaded = {}
+        if emb_dir and os.path.isdir(emb_dir):
+            for f in sorted(os.listdir(emb_dir)):
+                if f.endswith('.pt'):
+                    name, vecs = load_webui_embedding(os.path.join(emb_dir, f))
+                    loaded[name] = vecs
+        offset = 0
+        for name, vecs in loaded.items():
+            self.tokenizer.add_word(name, n_vectors=vecs.shape[0])
+            self.emb_rows.append(vecs.astype(np.float32))
+            self.emb_slices[name] = slice(offset, offset + vecs.shape[0])
+            offset += vecs.shape[0]
+        self.emb_ext0 = (np.concatenate(self.emb_rows, axis=0)
+                         if self.emb_rows else None)
+
+    def build_dataset(self):
+        dcfg = self.cfgs.get('data')
+        datasets = []
+        if dcfg:
+            for name, ds_cfg in dcfg.items():
+                datasets.append(self._build_one_dataset(ds_cfg))
+        self.datasets = datasets
+        self.data_group = DataGroup(datasets) if datasets else None
+
+    def _build_one_dataset(self, ds_cfg: Cfg) -> TextImagePairDataset:
+        # batch_size is per-device (reference: per-GPU, train_ac.py:306);
+        # the global batch fed to the jitted step is bs * n_devices.
+        bs = int(ds_cfg.get('batch_size', 4)) * self.world_size
+        sources = []
+        for sname, s_cfg in (ds_cfg.get('source') or {}).items():
+            s = dict(s_cfg)
+            s.pop('_target_', None)
+            s.pop('bg_color', None)
+            s.pop('att_mask_encode', None)
+            tt = s.pop('text_transforms', None)
+            word_names = s.pop('word_names', {}) or {}
+            src = Text2ImageSource(
+                img_root=s.get('img_root', '.'),
+                caption_file=s.get('caption_file'),
+                prompt_template=s.get('prompt_template'),
+                repeat=int(s.get('repeat', 1)),
+                word_names=word_names)
+            sources.append(src)
+        source = sources[0] if len(sources) == 1 else None
+        if source is None:
+            from ..data.sources import ComposeDataSource
+            source = ComposeDataSource(sources)
+
+        b_cfg = ds_cfg.get('bucket')
+        bucket = self._build_bucket(b_cfg)
+        da = bool(self.cfgs.get('lora_unet') and any(
+            sp.get('branch') == 'n' for sp in (self.cfgs.get('lora_unet') or [])))
+        ds = TextImagePairDataset(
+            source, bucket, frontend=self.frontend,
+            vae_scale=2 ** (len(self.vae.cfg.block_out_channels) - 1),
+            cache_latents=bool(ds_cfg.get('cache_latents', False)),
+            loss_weight=float(ds_cfg.get('loss_weight', 1.0)),
+            dream_artist=da)
+        ds.build(bs, world_size=1)
+        if ds_cfg.get('cache_latents', False):
+            encode = jax.jit(lambda x: self.vae.apply(
+                {'params': self.vae_params}, x, method='encode')[0]
+                * self.vae.cfg.scaling_factor)
+            ds.cache_all_latents(lambda imgs: np.asarray(encode(jnp.asarray(imgs))))
+        return ds
+
+    @staticmethod
+    def _build_bucket(b_cfg):
+        if not b_cfg:
+            return FixedBucket(512)
+        b = dict(b_cfg)
+        target = b.pop('_target_', '')
+        kw = {k: v for k, v in b.items() if not k.startswith('_')}
+        if 'RatioBucket.from_files' in target:
+            return RatioBucket.from_files(**kw)
+        if 'RatioBucket.from_ratios' in target:
+            return RatioBucket.from_ratios(**kw)
+        if 'FixedBucket' in target or 'fixed' in target.lower():
+            return FixedBucket(**kw)
+        if 'LongEdge' in target:
+            from ..data.buckets import LongEdgeBucket
+            return LongEdgeBucket(**kw)
+        if 'SizeBucket' in target:
+            from ..data.buckets import SizeBucket
+            return SizeBucket(**kw)
+        return RatioBucket.from_files(**kw) if kw else FixedBucket(512)
+
+    def build_trainables(self):
+        """make_hcpdiff equivalent: pack + per-group lr labels."""
+        cfgs = self.cfgs
+        rng = jax.random.PRNGKey(self.seed)
+        pack: Dict[str, Any] = {}
+        self.lora_scales: Dict[str, Dict[str, float]] = {}
+        self.group_lrs: Dict[str, float] = {}
+
+        def lora_group(specs, params, alias, key):
+            pos = [s for s in specs if s.get('branch', 'p') != 'n']
+            neg = [s for s in specs if s.get('branch', 'p') == 'n']
+            nonlocal rng
+            for branch, items in (('', pos), ('_neg', neg)):
+                if not items:
+                    continue
+                rng, sub = jax.random.split(rng)
+                ov, sc = make_lora_overlay(sub, params, items, aliases=alias)
+                if ov:
+                    pack[key + branch] = ov
+                    self.lora_scales[key + branch] = sc
+                    self.group_lrs[key + branch] = float(items[0].get('lr', 1e-4))
+
+        if cfgs.get('lora_unet'):
+            lora_group(cfgs.lora_unet, self.unet_params, self.aliases['unet'],
+                       'lora_unet')
+        if cfgs.get('lora_text_encoder'):
+            lora_group(cfgs.lora_text_encoder, self.te_params, self.aliases['te'],
+                       'lora_te')
+
+        if cfgs.get('unet'):
+            pats = []
+            lr = 1e-6
+            for item in cfgs.unet:
+                pats += list(item.get('layers', []))
+                lr = float(item.get('lr', lr))
+            mask = trainable_mask(self.unet_params, pats, self.aliases['unet'])
+            sub = extract_subset(self.unet_params, mask)
+            if sub:
+                pack['unet_ft'] = sub
+                self.group_lrs['unet_ft'] = lr
+        if cfgs.get('text_encoder'):
+            pats = []
+            lr = 1e-6
+            for item in cfgs.text_encoder:
+                pats += list(item.get('layers', []))
+                lr = float(item.get('lr', lr))
+            mask = trainable_mask(self.te_params, pats, self.aliases['te'])
+            sub = extract_subset(self.te_params, mask)
+            if sub:
+                pack['te_ft'] = sub
+                self.group_lrs['te_ft'] = lr
+
+        # prompt-tuning embeddings
+        self.pt_lrs = {}
+        pt_cfg = cfgs.get('tokenizer_pt') or Cfg()
+        train_items = pt_cfg.get('train') or []
+        if train_items and self.emb_ext0 is not None:
+            pack['emb'] = jnp.asarray(self.emb_ext0)
+            for item in train_items:
+                self.pt_lrs[item['name']] = float(item.get('lr', 3e-3))
+
+        self.pack = pack
+        self.dream_artist = 'lora_unet_neg' in pack or 'lora_te_neg' in pack
+
+    def build_optimizer_scheduler(self):
+        tcfg = self.cfgs.get('train', Cfg())
+        scfg = dict(tcfg.get('scheduler') or {})
+        steps = int(tcfg.get('train_steps', scfg.get('num_training_steps', 1000)))
+        base_lr = max(self.group_lrs.values(), default=1e-4)
+        if bool(tcfg.get('scale_lr', False)):
+            total_bs = sum(getattr(d, 'bs', 1) for d in self.datasets) or 1
+            base_lr = base_lr * total_bs * self.world_size
+
+        sched = make_schedule(scfg.get('name', 'constant'), base_lr,
+                              int(scfg.get('num_warmup_steps', 0)),
+                              int(scfg.get('num_training_steps', steps)))
+        ocfg = dict(tcfg.get('optimizer') or {})
+        opt_name = 'adamw'
+        tgt = str(ocfg.pop('_target_', '')).lower()
+        for n in ('lion', 'sgd', 'adafactor', '8bit'):
+            if n in tgt:
+                opt_name = {'8bit': 'adamw_8bit'}.get(n, n)
+        ocfg.pop('_partial_', None)
+        clip = float(tcfg.get('max_grad_norm', 1.0) or 0)
+        self.tx = make_optimizer(opt_name, schedule=sched,
+                                 clip_norm=clip or None,
+                                 **{k: v for k, v in ocfg.items()
+                                    if k in ('betas', 'eps', 'weight_decay')})
+
+        pt_lr = max(self.pt_lrs.values(), default=3e-3)
+        s2 = dict(tcfg.get('scheduler_pt') or scfg)
+        sched_pt = make_schedule(s2.get('name', 'constant'), pt_lr,
+                                 int(s2.get('num_warmup_steps', 0)),
+                                 int(s2.get('num_training_steps', steps)))
+        self.tx_pt = make_optimizer('adamw', schedule=sched_pt,
+                                    clip_norm=clip or None)
+
+    def build_ckpt_manager(self):
+        kind = self.cfgs.get('ckpt_type', 'safetensors')
+        self.ckpt_manager = (CkptManagerSafe() if kind == 'safetensors'
+                             else CkptManagerPKL())
+        self.ckpt_manager.set_save_dir(os.path.join(self.exp_dir, 'ckpts'))
+        self.orbax = OrbaxCkptManager(os.path.join(self.exp_dir, 'orbax'))
+
+    def load_resume(self):
+        self.start_step = 0
+        rcfg = (self.cfgs.get('train') or Cfg()).get('resume')
+        if not rcfg:
+            return
+        self.start_step = int(rcfg.get('start_step', 0))
+        # weight-only resume lists (reference semantics train_ac.py:280-288)
+        for path in (rcfg.get('ckpt_path') or {}).get('unet', []) or []:
+            ck = self.ckpt_manager.load_ckpt(path)
+            if 'lora' in ck and 'lora_unet' in self.pack:
+                self.pack['lora_unet'] = jax.tree_util.tree_map(
+                    jnp.asarray, ck['lora'])
+
+    # ------------------------------------------------------------ steps ----
+    def make_train_step(self):
+        tcfg = self.cfgs.get('train', Cfg())
+        ema_cfg = (self.cfgs.get('model') or Cfg()).get('ema')
+        loss_cfg = (tcfg.get('loss') or Cfg())
+        crit_cfg = dict(loss_cfg.get('criterion') or {})
+        tgt = str(crit_cfg.get('_target_', 'mse')).lower()
+        if 'minsnr' in tgt.replace('_', '') or 'min_snr' in tgt:
+            crit = MinSNRLoss(self.noise_schedule,
+                              gamma=float(crit_cfg.get('gamma', 2.0)))
+        elif 'soft' in tgt:
+            crit = LOSSES['soft_min_snr'](self.noise_schedule,
+                                          gamma=float(crit_cfg.get('gamma', 2.0)))
+        else:
+            crit = MSELoss()
+
+        cfg_scale = str(tcfg.get('cfg_scale', '1.0'))
+        lo, hi, ramp = get_cfg_range(cfg_scale)
+
+        step_cfg = StepConfig(
+            grad_accum=1,  # DataGroup yields per-step batches; accum folds below
+            ema_decay=(float(ema_cfg.get('decay_max', 0.9999)) if ema_cfg else None),
+            dream_artist=self.dream_artist,
+            da_cfg_low=lo, da_cfg_high=hi, da_cfg_ramp=ramp)
+        self.use_ema = ema_cfg is not None
+
+        unet = self.unet
+        frontend = self.frontend
+
+        def unet_apply(p, x, t, ctx, **extra):
+            return unet.apply({'params': p}, x, t, ctx, **extra)
+
+        def te_encode(p, ids, tm, ext):
+            return frontend.encode_ids(p, ids, tm, emb_ext=ext)
+
+        self._train_step = jax.jit(build_train_step(
+            unet_apply, te_encode, self.noise_schedule, crit,
+            self.tx, self.tx_pt, step_cfg, self.lora_scales))
+        self.state = init_train_state(self.pack, self.tx, self.tx_pt,
+                                      use_ema=self.use_ema)
+        self.frozen = {'unet': self.unet_params, 'te': self.te_params}
+        # replicate over the mesh
+        self.state = replicate(self.state, self.mesh)
+        self.frozen = replicate(self.frozen, self.mesh)
+
+    # ------------------------------------------------------------ train ----
+    def train(self):
+        assert self.data_group is not None, 'no datasets configured'
+        log_step = 20
+        rng = jax.random.PRNGKey(self.seed)
+        t0 = time.perf_counter()
+        step = self.start_step
+        loss_ema = None
+        for batch_list in self.data_group:
+            for batch in batch_list:
+                batch = {k: v for k, v in batch.items() if k != 'prompts'}
+                batch = shard_batch(batch, self.mesh)
+                rng, sub = jax.random.split(rng)
+                self.state, metrics = self._train_step(self.state, self.frozen,
+                                                       batch, sub)
+            step += 1
+            loss = float(metrics['loss'])
+            loss_ema = loss if loss_ema is None else 0.93 * loss_ema + 0.07 * loss
+            if step % log_step == 0 and is_main_process():
+                dt = (time.perf_counter() - t0) / log_step
+                self.loggers.info(f'step {step}/{self.train_steps} '
+                                  f'loss {loss_ema:.4f} {dt * 1000:.0f} ms/it')
+                self.loggers.log({'loss': loss_ema, 'step': step}, step)
+                t0 = time.perf_counter()
+            if step % self.save_step == 0:
+                self.save_model(step)
+            if step >= self.train_steps:
+                break
+        self.save_model(step)
+        return step
+
+    # ------------------------------------------------------------- save ----
+    def save_model(self, step: int):
+        if not is_main_process():
+            return
+        pack = jax.device_get(self.state.pack)
+        ema = jax.device_get(self.state.ema) if self.state.ema is not None else {}
+        ema = ema or {}
+        if 'lora_unet' in pack or 'unet_ft' in pack:
+            self.ckpt_manager.save_model_with_lora(
+                os.path.join(self.exp_dir, 'ckpts',
+                             f'unet-{step}{self.ckpt_manager.ext}'),
+                base=pack.get('unet_ft'), lora_overlay=pack.get('lora_unet'),
+                base_ema=ema.get('unet_ft'), lora_ema=ema.get('lora_unet'))
+        if 'lora_te' in pack or 'te_ft' in pack:
+            self.ckpt_manager.save_model_with_lora(
+                os.path.join(self.exp_dir, 'ckpts',
+                             f'text_encoder-{step}{self.ckpt_manager.ext}'),
+                base=pack.get('te_ft'), lora_overlay=pack.get('lora_te'),
+                base_ema=ema.get('te_ft'), lora_ema=ema.get('lora_te'))
+        if 'emb' in pack:
+            for name, sl in self.emb_slices.items():
+                if name in self.train_emb_names:
+                    self.ckpt_manager.save_embedding(
+                        os.path.join(self.exp_dir, 'ckpts', f'{name}-{step}.pt'),
+                        np.asarray(pack['emb'])[sl], name, step)
+        self.orbax.save(step, jax.device_get(self.state))
+        self.loggers.info(f'saved ckpt @ step {step}')
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument('--cfg', required=True)
+    args, unknown = p.parse_known_args()
+    cfgs = load(args.cfg, unknown)
+    trainer = Trainer(cfgs)
+    trainer.train()
+
+
+if __name__ == '__main__':
+    main()

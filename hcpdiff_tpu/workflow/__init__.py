@@ -1,0 +1,11 @@
+from .base import (BasicAction, MemoryMixin, ExecAction, LoopAction,
+                   WorkflowRunner, resolve_from_memory)
+from .actions import (LoadModelsAction, BuildModelLoaderAction, LoadLoraAction,
+                      LoadPartAction, RemoveLoraAction, SaveImageAction,
+                      TextHookAction, TextEncodeAction, AttnMultTextEncodeAction,
+                      SeedAction, PrepareDiffusionAction, MakeTimestepsAction,
+                      MakeLatentAction, NoisePredAction, SampleAction,
+                      DiffusionStepAction, X0PredAction, EncodeAction,
+                      DecodeAction, LatentResizeAction, ImageResizeAction)
+
+__all__ = [n for n in dir() if not n.startswith('_')]

@@ -1,0 +1,93 @@
+"""LDM/webui <-> diffusers converter round-trips on synthetic state dicts."""
+import numpy as np
+
+from hcpdiff_tpu.ckpt.ldm_convert import (unet_diffusers_to_ldm,
+                                          unet_ldm_to_diffusers,
+                                          unet_ldm_to_diffusers_map,
+                                          vae_diffusers_to_ldm,
+                                          vae_ldm_to_diffusers,
+                                          te_ldm_to_diffusers)
+
+
+def _synth_unet_diffusers():
+    """Minimal synthetic diffusers UNet state dict hitting every map class."""
+    rng = np.random.default_rng(0)
+    sd = {}
+    mods = ['conv_in', 'time_embedding.linear_1', 'time_embedding.linear_2',
+            'conv_norm_out', 'conv_out',
+            'down_blocks.0.resnets.0.norm1', 'down_blocks.0.resnets.0.conv1',
+            'down_blocks.0.resnets.0.time_emb_proj',
+            'down_blocks.0.resnets.0.conv_shortcut',
+            'down_blocks.0.attentions.0.proj_in',
+            'down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q',
+            'down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj',
+            'down_blocks.0.downsamplers.0.conv',
+            'mid_block.resnets.0.conv1', 'mid_block.attentions.0.proj_out',
+            'mid_block.resnets.1.norm2',
+            'up_blocks.0.resnets.2.conv2', 'up_blocks.0.upsamplers.0.conv',
+            'up_blocks.3.resnets.0.conv1',
+            'up_blocks.3.attentions.1.transformer_blocks.0.attn2.to_k']
+    for m in mods:
+        sd[f'{m}.weight'] = rng.normal(size=(4, 4)).astype(np.float32)
+        sd[f'{m}.bias'] = rng.normal(size=(4,)).astype(np.float32)
+    return sd
+
+
+def test_unet_ldm_roundtrip():
+    sd = _synth_unet_diffusers()
+    ldm = unet_diffusers_to_ldm(sd)
+    assert all(k.startswith('model.diffusion_model.') for k in ldm)
+    back = unet_ldm_to_diffusers(ldm)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k])
+
+
+def test_unet_map_is_bijective():
+    m = unet_ldm_to_diffusers_map()
+    assert len(set(m.values())) == len(m)
+
+
+def test_vae_ldm_roundtrip():
+    rng = np.random.default_rng(1)
+    sd = {}
+    mods = ['encoder.conv_in', 'encoder.conv_norm_out', 'encoder.conv_out',
+            'encoder.down_blocks.0.resnets.0.conv1',
+            'encoder.down_blocks.0.downsamplers.0.conv',
+            'encoder.mid_block.resnets.0.norm1',
+            'decoder.up_blocks.0.resnets.1.conv2',
+            'decoder.up_blocks.0.upsamplers.0.conv',
+            'quant_conv', 'post_quant_conv']
+    for m in mods:
+        sd[f'{m}.weight'] = rng.normal(size=(4, 4)).astype(np.float32)
+        sd[f'{m}.bias'] = rng.normal(size=(4,)).astype(np.float32)
+    # attention projections (linear in diffusers)
+    for p in ('group_norm', 'to_q', 'to_k', 'to_v', 'to_out.0'):
+        sd[f'encoder.mid_block.attentions.0.{p}.weight'] = \
+            rng.normal(size=(4, 4)).astype(np.float32)
+        sd[f'encoder.mid_block.attentions.0.{p}.bias'] = \
+            rng.normal(size=(4,)).astype(np.float32)
+    ldm = vae_diffusers_to_ldm(sd)
+    assert all(k.startswith('first_stage_model.') for k in ldm)
+    back = vae_ldm_to_diffusers(ldm)
+    for k in sd:
+        if 'attentions' in k and 'group_norm' not in k and k.endswith('.weight'):
+            np.testing.assert_array_equal(back[k], sd[k])
+        else:
+            assert k in back, k
+            np.testing.assert_array_equal(back[k], sd[k])
+
+
+def test_te_prefix_strip():
+    sd = {'cond_stage_model.transformer.text_model.embeddings.token_embedding.weight':
+          np.zeros((10, 4), np.float32)}
+    out = te_ldm_to_diffusers(sd)
+    assert 'text_model.embeddings.token_embedding.weight' in out
+
+
+def test_decoder_up_reversal():
+    """decoder.up.3 (ldm) == up_blocks.0 (diffusers)."""
+    sd = {'decoder.up_blocks.0.resnets.0.conv1.weight':
+          np.ones((2, 2), np.float32)}
+    ldm = vae_diffusers_to_ldm(sd)
+    assert 'first_stage_model.decoder.up.3.block.0.conv1.weight' in ldm
