@@ -1,0 +1,153 @@
+"""Flash attention for TPU (Pallas) — the xFormers stand-in on the UNet/VAE
+self-attention hot path (SURVEY.md §2.10 native-inventory row 1).
+
+Online-softmax tiled attention: grid over (batch*heads, q-blocks); the
+kernel streams K/V blocks through VMEM with fp32 running (max, sum, acc)
+scratch. Forward is Pallas; backward recomputes attention under XLA (exact
+same math in fp32) via custom_vjp — correct gradients with zero extra
+forward memory; a fused Pallas backward is a later optimization.
+
+Layout: [B, H, S, D]. D is zero-padded to the 128-lane boundary host-side
+(cheap, fused by XLA); S must be a multiple of the q/k block (guarded by
+the dispatcher in ops/attention.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  block_k: int, seq_k: int, scale: float, causal: bool,
+                  block_q: int):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
+
+    num_k = seq_k // block_k
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(ki, _):
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [BQ, BK]
+        if causal:
+            q_ids = (qi * block_q
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            k_ids = (ki * block_k
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        m_prev = m_ref[:, 0]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+        acc_ref[:] = (acc_ref[:] * alpha[:, None]
+                      + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32))
+        m_ref[:, 0] = m_cur
+        return ()
+
+    if causal:
+        # only blocks with k_start <= q_end contribute
+        upper = jnp.minimum(num_k, (qi + 1) * block_q // block_k + 1)
+        jax.lax.fori_loop(0, upper, body, ())
+    else:
+        jax.lax.fori_loop(0, num_k, body, ())
+
+    o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0], 1e-20)[:, None]
+                ).astype(o_ref.dtype)
+
+
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   causal: bool, scale: float,
+                   block_q: int = DEFAULT_BLOCK_Q,
+                   block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    block_q = min(block_q, Sq)
+    block_k = min(block_k, Sk)
+    # pad head dim to the lane boundary
+    Dp = max(128, ((D + 127) // 128) * 128)
+    if Dp != D:
+        pad = [(0, 0)] * 3 + [(0, Dp - D)]
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+
+    qf = q.reshape(B * H, Sq, Dp)
+    kf = k.reshape(B * H, Sk, Dp)
+    vf = v.reshape(B * H, Sk, Dp)
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k, seq_k=Sk,
+                               scale=scale, causal=causal, block_q=block_q)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H, Sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk, Dp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sk, Dp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sq * Sk * Dp,
+            bytes_accessed=(B * H * (Sq + 2 * Sk) * Dp * q.dtype.itemsize),
+            transcendentals=B * H * Sq * Sk),
+    )(qf, kf, vf)
+    out = out.reshape(B, H, Sq, Dp)
+    return out[..., :D]
+
+
+def _xla_reference(q, k, v, causal, scale):
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if causal:
+        ql, kl = q.shape[-2], k.shape[-2]
+        mask = jnp.tril(jnp.ones((ql, kl), dtype=bool), k=kl - ql)
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q, k, v, causal: bool = False,
+                    scale: Optional[float] = None):
+    scale_v = (q.shape[-1] ** -0.5) if scale is None else scale
+    return _flash_forward(q, k, v, causal, scale_v)
+
+
+def _fwd(q, k, v, causal, scale):
+    return flash_attention(q, k, v, causal, scale), (q, k, v)
+
+
+def _bwd(causal, scale, res, g):
+    q, k, v = res
+    scale_v = (q.shape[-1] ** -0.5) if scale is None else scale
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, causal,
+                                                       scale_v), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,59 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from hcpdiff_tpu.ops.flash_attention import flash_attention, _xla_reference
+
+
+def _run(B=1, H=2, Sq=256, Sk=256, D=64, causal=False, dtype=jnp.float32):
+    rng = jax.random.PRNGKey(0)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = jax.random.normal(r1, (B, H, Sq, D), dtype)
+    k = jax.random.normal(r2, (B, H, Sk, D), dtype)
+    v = jax.random.normal(r3, (B, H, Sk, D), dtype)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, causal)
+    ref = _xla_reference(q, k, v, causal, D ** -0.5)
+    return np.asarray(out), np.asarray(ref)
+
+
+def test_flash_matches_reference():
+    out, ref = _run()
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_causal():
+    out, ref = _run(causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_odd_head_dim():
+    # SD1.5 head dims are 40/80/160 — exercise lane padding
+    out, ref = _run(D=40, Sq=256, Sk=256)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_multi_block():
+    out, ref = _run(Sq=512, Sk=512)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_gradients():
+    q = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 256, 32))
+    k = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 256, 32))
+    v = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 256, 32))
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_reference(q, k, v, False, 32 ** -0.5) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
