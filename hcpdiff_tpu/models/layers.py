@@ -36,27 +36,23 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm over channel-last tensors with fp32 statistics."""
+    """GroupNorm over channel-last tensors with fp32 statistics.
+
+    ``fused_silu=True`` routes through the fused Pallas GroupNorm+SiLU
+    kernel on TPU (ops/groupnorm.py), one HBM round-trip instead of two."""
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    fused_silu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
-        orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        g = self.num_groups
-        spatial = xf.shape[1:-1]
-        xg = xf.reshape(xf.shape[0], -1, g, c // g)
-        mean = xg.mean(axis=(1, 3), keepdims=True)
-        var = xg.var(axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        xf = xg.reshape(xf.shape[0], *spatial, c)
-        out = xf * scale + bias
-        return out.astype(orig_dtype)
+        from ..ops.groupnorm import group_norm_silu
+        return group_norm_silu(x, scale, bias, self.num_groups, self.epsilon,
+                               apply_silu=self.fused_silu)
 
 
 class Conv(nn.Module):

@@ -116,13 +116,13 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         in_c = x.shape[-1]
-        h = GroupNorm(self.groups, dtype=self.dtype, name='norm1')(x)
-        h = jax.nn.silu(h)
+        h = GroupNorm(self.groups, dtype=self.dtype, fused_silu=True,
+                      name='norm1')(x)
         h = _conv(self.out_channels, 3, self.dtype, 'conv1')(h)
         t = _dense(self.out_channels, self.dtype, 'time_emb_proj')(jax.nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = GroupNorm(self.groups, dtype=self.dtype, name='norm2')(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm(self.groups, dtype=self.dtype, fused_silu=True,
+                      name='norm2')(h)
         h = _conv(self.out_channels, 3, self.dtype, 'conv2')(h)
         if in_c != self.out_channels:
             x = _conv(self.out_channels, 1, self.dtype, 'conv_shortcut')(x)
@@ -334,7 +334,7 @@ class UNet2DCondition(nn.Module):
             if bi < len(c.up_block_types) - 1:
                 x = Upsample2D(out_c, dtype=self.dtype, name=f'up_{bi}_upsample')(x)
 
-        x = GroupNorm(c.norm_num_groups, dtype=self.dtype, name='conv_norm_out')(x)
-        x = jax.nn.silu(x)
+        x = GroupNorm(c.norm_num_groups, dtype=self.dtype, fused_silu=True,
+                      name='conv_norm_out')(x)
         x = _conv(c.out_channels, 3, self.dtype, 'conv_out')(x)
         return x.astype(jnp.float32)

@@ -61,11 +61,11 @@ class VAEResnet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_c = x.shape[-1]
-        h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
-        h = jax.nn.silu(h)
+        h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+                      fused_silu=True, name='norm1')(x)
         h = _conv(self.out_channels, 3, self.dtype, 'conv1')(h)
-        h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name='norm2')(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+                      fused_silu=True, name='norm2')(h)
         h = _conv(self.out_channels, 3, self.dtype, 'conv2')(h)
         if in_c != self.out_channels:
             x = _conv(self.out_channels, 1, self.dtype, 'conv_shortcut')(x)
@@ -111,8 +111,7 @@ class Encoder(nn.Module):
         x = VAEAttention(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_attn')(x)
         x = VAEResnet(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_res_1')(x)
         x = GroupNorm(c.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
-                      name='conv_norm_out')(x)
-        x = jax.nn.silu(x)
+                      fused_silu=True, name='conv_norm_out')(x)
         return _conv(2 * c.latent_channels, 3, self.dtype, 'conv_out')(x)
 
 
@@ -138,8 +137,7 @@ class Decoder(nn.Module):
                 x = jax.image.resize(x, (B, H * 2, W * 2, C), method='nearest')
                 x = _conv(out_c, 3, self.dtype, f'up_{bi}_upsample')(x)
         x = GroupNorm(c.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
-                      name='conv_norm_out')(x)
-        x = jax.nn.silu(x)
+                      fused_silu=True, name='conv_norm_out')(x)
         return _conv(c.out_channels, 3, self.dtype, 'conv_out')(x)
 
 

@@ -72,6 +72,18 @@ class Trainer:
         self.grad_accum = int(tcfg.get('gradient_accumulation_steps', 1))
 
         self.make_train_step()
+        self.build_previewer()
+
+    def build_previewer(self):
+        self.previewer = None
+        self.image_log_step = 0
+        pcfg = self.cfgs.get('previewer')
+        if pcfg:
+            from ..loggers.preview import ImagePreviewer
+            spec = {k: v for k, v in dict(pcfg).items()
+                    if not k.startswith('_')}
+            self.image_log_step = int(spec.pop('image_log_step', 200))
+            self.previewer = ImagePreviewer(self, **spec)
 
     # ------------------------------------------------------------ build ----
     def build_model(self):
@@ -386,6 +398,9 @@ class Trainer:
                                   f'loss {loss_ema:.4f} {dt * 1000:.0f} ms/it')
                 self.loggers.log({'loss': loss_ema, 'step': step}, step)
                 t0 = time.perf_counter()
+            if (self.previewer is not None and self.image_log_step
+                    and step % self.image_log_step == 0 and is_main_process()):
+                self.loggers.log_image(self.previewer.preview_dict(), step)
             if step % self.save_step == 0:
                 self.save_model(step)
             if step >= self.train_steps:
