@@ -101,8 +101,18 @@ class TextImagePairDataset:
         path, meta = self.files[i]
         src = meta.get('source', self.source)
         img = src.load_image(path)
-        img, crop_info = resize_crop_fix(img, size,
-                                         rng if self.random_crop else None)
+        r = rng if self.random_crop else None
+        from .utils import resize_crop_fix_native
+        arr, crop_info = resize_crop_fix_native(img, size, r)
+        if arr is not None:
+            return arr, crop_info
+        # fall back to PIL with the SAME geometry (no extra rng draws)
+        w0, h0 = img.size
+        tw, th = size
+        scale = max(tw / w0, th / h0)
+        nw, nh = round(w0 * scale), round(h0 * scale)
+        x0, y0 = crop_info['crop_coord']
+        img = img.resize((nw, nh)).crop((x0, y0, x0 + tw, y0 + th))
         return to_model_input(img), crop_info
 
     def get_batch(self, bi: int, epoch: int = 0, step_seed: int = 0

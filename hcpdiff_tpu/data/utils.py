@@ -21,15 +21,40 @@ def resize_crop_fix(img: Image.Image, size: Tuple[int, int],
     tw, th = size
     scale = max(tw / w0, th / h0)
     nw, nh = round(w0 * scale), round(h0 * scale)
-    img = img.resize((nw, nh), Image.BICUBIC)
     if rng is not None:
         x0 = int(rng.integers(0, max(nw - tw, 0) + 1))
         y0 = int(rng.integers(0, max(nh - th, 0) + 1))
     else:
         x0, y0 = (nw - tw) // 2, (nh - th) // 2
+    img = img.resize((nw, nh), Image.BICUBIC)
     img = img.crop((x0, y0, x0 + tw, y0 + th))
     return img, {'crop_coord': (x0, y0), 'original_size': (w0, h0),
                  'target_size': (tw, th)}
+
+
+def resize_crop_fix_native(img: Image.Image, size: Tuple[int, int],
+                           rng: Optional[np.random.Generator] = None
+                           ) -> Tuple[Optional[np.ndarray], dict]:
+    """Native fast path: same geometry as resize_crop_fix but resample +
+    crop + [-1,1] normalize happen in the C++ library (csrc/image_ops.cpp).
+    Returns (float32 HWC array, crop_info) or (None, info) if unavailable."""
+    from ..utils import native
+    w0, h0 = img.size
+    tw, th = size
+    scale = max(tw / w0, th / h0)
+    nw, nh = round(w0 * scale), round(h0 * scale)
+    if rng is not None:
+        x0 = int(rng.integers(0, max(nw - tw, 0) + 1))
+        y0 = int(rng.integers(0, max(nh - th, 0) + 1))
+    else:
+        x0, y0 = (nw - tw) // 2, (nh - th) // 2
+    info = {'crop_coord': (x0, y0), 'original_size': (w0, h0),
+            'target_size': (tw, th)}
+    if not native.available() or img.mode != 'RGB':
+        return None, info
+    arr = native.resize_crop_normalize(np.asarray(img, np.uint8),
+                                       (nw, nh), (x0, y0), (tw, th))
+    return arr, info
 
 
 def pad_crop_fix(img: Image.Image, size: Tuple[int, int]
