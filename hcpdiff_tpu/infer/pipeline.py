@@ -34,10 +34,13 @@ class DenoiseLoop:
 
     def _run(self, unet_params, latents, ctx, rng, guidance_scale,
              extra_cond: Optional[Dict[str, jnp.ndarray]] = None,
-             cfg_batch: bool = True):
+             unet_params_neg=None, cfg_batch: bool = True):
         """ctx: [2B or B, S, D] (neg||pos when cfg_batch).
         extra_cond: dict of additional UNet kwargs already CFG-doubled
-        (SDXL pooled/time_ids, inpaint channels, controlnet cond...)."""
+        (SDXL pooled/time_ids, inpaint channels, controlnet cond...).
+        unet_params_neg: DreamArtist negative-branch params applied to the
+        uncond half (reference DreamArtistPTContext,
+        hcpdiff/models/cfg_context.py:12-38)."""
         sampler = self.sampler
         B = latents.shape[0]
         latents = latents * sampler.init_noise_sigma
@@ -50,10 +53,18 @@ class DenoiseLoop:
             x_in = sampler.scale_model_input(st, lat, i)
             t = sampler.timesteps[i]
             if cfg_batch:
-                x2 = jnp.concatenate([x_in, x_in], axis=0)
-                t2 = jnp.full((2 * B,), t)
-                out = self.unet_apply(unet_params, x2, t2, ctx, **extra)
-                e_neg, e_pos = jnp.split(out, 2, axis=0)
+                if unet_params_neg is not None:
+                    ctx_n, ctx_p = jnp.split(ctx, 2, axis=0)
+                    tB = jnp.full((B,), t)
+                    e_neg = self.unet_apply(unet_params_neg, x_in, tB, ctx_n,
+                                            **extra)
+                    e_pos = self.unet_apply(unet_params, x_in, tB, ctx_p,
+                                            **extra)
+                else:
+                    x2 = jnp.concatenate([x_in, x_in], axis=0)
+                    t2 = jnp.full((2 * B,), t)
+                    out = self.unet_apply(unet_params, x2, t2, ctx, **extra)
+                    e_neg, e_pos = jnp.split(out, 2, axis=0)
                 eps = e_neg + guidance_scale * (e_pos - e_neg)
             else:
                 eps = self.unet_apply(unet_params, x_in, jnp.full((B,), t), ctx,
@@ -66,10 +77,10 @@ class DenoiseLoop:
         return latents, x0s
 
     def __call__(self, unet_params, latents, ctx, rng, guidance_scale,
-                 extra_cond=None, cfg_batch: bool = True):
+                 extra_cond=None, unet_params_neg=None, cfg_batch: bool = True):
         return self._jitted(unet_params, latents, ctx, rng,
                             jnp.asarray(guidance_scale, jnp.float32),
-                            extra_cond, cfg_batch=cfg_batch)
+                            extra_cond, unet_params_neg, cfg_batch=cfg_batch)
 
 
 class DiffusionPipeline:
@@ -88,6 +99,7 @@ class DiffusionPipeline:
             vae_scale = 2 ** (len(vae.cfg.block_out_channels) - 1)
         self.unet_apply = unet_apply
         self.unet_params = unet_params
+        self.unet_params_neg = None   # DreamArtist negative branch (optional)
         self.vae = vae
         self.vae_params = vae_params
         self.te = te_frontend
@@ -132,7 +144,8 @@ class DiffusionPipeline:
         latents = jax.random.normal(r_init, (B, h, w, self.latent_channels))
         loop = self._loop(sampler, num_steps, **(sampler_kwargs or {}))
         latents, _ = loop(self.unet_params, latents, ctx, r_loop, guidance_scale,
-                          extra_cond=extra_cond)
+                          extra_cond=extra_cond,
+                          unet_params_neg=self.unet_params_neg)
         if return_latents:
             return latents
         return self.decode(latents)

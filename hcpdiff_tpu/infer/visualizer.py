@@ -94,6 +94,8 @@ class Visualizer:
         merge_cfg = cfgs.get('merge')
         unet_merger = ModelMerger(world['unet_params'], world['aliases']['unet'])
         te_merger = ModelMerger(world['te_params'], world['aliases']['te'])
+        neg_merger = ModelMerger(world['unet_params'], world['aliases']['unet'])
+        has_neg = False
         if merge_cfg:
             for group_name, group in merge_cfg.items():
                 if not isinstance(group, dict):
@@ -101,10 +103,17 @@ class Visualizer:
                 gtype = group.get('type', 'unet')
                 tgt = unet_merger if 'unet' in gtype else te_merger
                 for item in group.get('lora', []) or []:
-                    tgt.load_lora(item['path'], float(item.get('alpha', 1.0)))
+                    # DreamArtist: 'branch: n' loras go to the uncond half
+                    if 'unet' in gtype and item.get('branch', 'p') == 'n':
+                        neg_merger.load_lora(item['path'],
+                                             float(item.get('alpha', 1.0)))
+                        has_neg = True
+                    else:
+                        tgt.load_lora(item['path'], float(item.get('alpha', 1.0)))
                 for item in group.get('part', []) or []:
                     tgt.load_part(item['path'], float(item.get('alpha', 1.0)))
         self.unet_params = unet_merger.merged()
+        self.unet_params_neg = neg_merger.merged() if has_neg else None
         self.te_params = te_merger.merged()
 
         # --- embeddings dir ---
@@ -134,6 +143,7 @@ class Visualizer:
         self.pipe = DiffusionPipeline(unet_apply, self.unet_params,
                                       world['vae'], world['vae_params'],
                                       self.frontend, schedule=self.schedule)
+        self.pipe.unet_params_neg = self.unet_params_neg
 
         # output interfaces
         self.interfaces: List[BaseInterface] = []

@@ -44,9 +44,10 @@ def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                     apply_silu: bool = True,
                     use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """x: [B, H, W, C] (or [B, S, C]); scale/bias: [C]."""
+    import math
     orig_shape = x.shape
     B, C = x.shape[0], x.shape[-1]
-    S = int(jnp.prod(jnp.asarray(x.shape[1:-1]))) if x.ndim > 2 else x.shape[1]
+    S = math.prod(x.shape[1:-1]) if x.ndim > 2 else x.shape[1]
     if use_pallas is None:
         use_pallas = (jax.default_backend() == 'tpu' and C % 128 == 0
                       and _fits(S, C, x.dtype.itemsize))
