@@ -120,6 +120,59 @@ class CkptManagerPKL(CkptManagerBase):
                 for k, v in obj.items()}
 
 
+class CkptManagerDiffusers(CkptManagerSafe):
+    """Save a merged model as a diffusers-layout directory
+    (reference ckpt_manager/ckpt_diffusers.py)."""
+
+    def save_pipeline(self, out_dir: str, unet_params, unet_cfg,
+                      vae_params=None, vae_cfg=None,
+                      te_params=None, te_num_layers: int = 12) -> None:
+        import json
+        from .sd_convert import (unet_params_to_torch, vae_params_to_torch,
+                                 clip_params_to_torch)
+        from .formats import save_safetensors
+        os.makedirs(out_dir, exist_ok=True)
+        ud = os.path.join(out_dir, 'unet')
+        os.makedirs(ud, exist_ok=True)
+        save_safetensors({k: np.asarray(v) for k, v in
+                          unet_params_to_torch(_to_numpy_tree(unet_params),
+                                               unet_cfg).items()},
+                         os.path.join(ud, 'diffusion_pytorch_model.safetensors'))
+        if vae_params is not None and vae_cfg is not None:
+            vd = os.path.join(out_dir, 'vae')
+            os.makedirs(vd, exist_ok=True)
+            save_safetensors({k: np.asarray(v) for k, v in
+                              vae_params_to_torch(_to_numpy_tree(vae_params),
+                                                  vae_cfg).items()},
+                             os.path.join(vd, 'diffusion_pytorch_model.safetensors'))
+        if te_params is not None:
+            td = os.path.join(out_dir, 'text_encoder')
+            os.makedirs(td, exist_ok=True)
+            save_safetensors({k: np.asarray(v) for k, v in
+                              clip_params_to_torch(_to_numpy_tree(te_params),
+                                                   te_num_layers).items()},
+                             os.path.join(td, 'model.safetensors'))
+
+
+class CkptManagerWebui(CkptManagerSafe):
+    """Load a webui/LDM single-file checkpoint into our params
+    (reference ckpt_manager/ckpt_webui.py)."""
+
+    @staticmethod
+    def load_webui_parts(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+        from .ldm_convert import split_ldm_checkpoint
+        if path.endswith('.safetensors'):
+            from .formats import load_safetensors
+            sd = load_safetensors(path)
+        else:
+            import torch
+            obj = torch.load(path, map_location='cpu', weights_only=False)
+            sd = {k: v.detach().cpu().numpy()
+                  for k, v in obj.get('state_dict', obj).items()
+                  if hasattr(v, 'detach')}
+        return split_ldm_checkpoint(sd)
+
+
 def auto_manager(path_or_ext: str) -> CkptManagerBase:
     """Extension dispatch (reference ckpt_manager/__init__.py:4)."""
     ext = os.path.splitext(path_or_ext)[1] or path_or_ext
