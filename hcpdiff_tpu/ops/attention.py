@@ -44,8 +44,16 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     fused-softmax XLA path (which XLA also fuses well at short seq).
     """
     if use_flash is None:
+        import os
+        # Default crossover: XLA's fused attention wins at SD's short seqs
+        # (head dims 40/80 pad to 128 lanes in the Pallas kernel); the flash
+        # kernel wins where the S^2 logits no longer fit fusion windows.
+        # Measured end-to-end on v5e: 512px SD1.5 bench 1.69 img/s (XLA) vs
+        # 1.44 (flash) — so flash engages at >=8192 (i.e. >768px) or when
+        # HCP_FLASH_ATTN=1 forces it.
+        threshold = 8192 if os.environ.get('HCP_FLASH_ATTN') != '1' else 256
         use_flash = (jax.default_backend() == 'tpu' and bias is None
-                     and q.shape[-2] >= 256 and q.shape[-2] == k.shape[-2]
+                     and q.shape[-2] >= threshold and q.shape[-2] == k.shape[-2]
                      and q.shape[-2] % 128 == 0 and q.shape[-1] <= 256)
     if use_flash:
         try:

@@ -105,11 +105,31 @@ class Trainer:
             self.tokenizer = CLIPTokenizer.tiny()
         self.aliases = world['aliases']
 
+        # noise scheduler config: supports the reference's decorator-style
+        # wrappers (PyramidNoiseScheduler / ZeroTerminalScheduler,
+        # hcpdiff/noise/*) as flags on our schedule + step config
         ns = mcfg.get('noise_scheduler')
-        if isinstance(ns, dict) and '_target_' in ns:
-            self.noise_schedule = instantiate(ns)
-        else:
-            self.noise_schedule = NoiseSchedule.make()
+        self.noise_kind = 'gaussian'
+        self.pyramid_discount = 0.9
+        sched_kw = {}
+        while isinstance(ns, dict):
+            tgt = str(ns.get('_target_', ''))
+            if 'Pyramid' in tgt:
+                self.noise_kind = 'pyramid'
+                self.pyramid_discount = float(ns.get('discount', 0.9))
+                ns = ns.get('base_scheduler') or ns.get('scheduler')
+            elif 'ZeroTerminal' in tgt:
+                sched_kw['zero_terminal_snr'] = True
+                ns = ns.get('base_scheduler') or ns.get('scheduler')
+            elif 'NoiseSchedule' in tgt or 'DDPMScheduler' in tgt:
+                for k in ('beta_start', 'beta_end', 'beta_schedule',
+                          'prediction_type', 'num_train_timesteps'):
+                    if k in ns:
+                        sched_kw[k] = ns[k]
+                ns = None
+            else:
+                ns = None
+        self.noise_schedule = NoiseSchedule.make(**sched_kw)
 
         self.frontend = TextEncoderFrontend(
             self.tokenizer, self.te, self.te_params,
@@ -352,7 +372,9 @@ class Trainer:
             grad_accum=1,  # DataGroup yields per-step batches; accum folds below
             ema_decay=(float(ema_cfg.get('decay_max', 0.9999)) if ema_cfg else None),
             dream_artist=self.dream_artist,
-            da_cfg_low=lo, da_cfg_high=hi, da_cfg_ramp=ramp)
+            da_cfg_low=lo, da_cfg_high=hi, da_cfg_ramp=ramp,
+            noise_kind=self.noise_kind,
+            pyramid_discount=self.pyramid_discount)
         self.use_ema = ema_cfg is not None
 
         unet = self.unet
