@@ -94,9 +94,11 @@ class DiffusionPipeline:
     def __init__(self, unet_apply: Callable, unet_params: Any,
                  vae, vae_params: Any, te_frontend,
                  schedule: Optional[NoiseSchedule] = None,
-                 latent_channels: int = 4, vae_scale: Optional[int] = None):
+                 latent_channels: int = 4, vae_scale: Optional[int] = None,
+                 text_time: bool = False):
         if vae_scale is None:
             vae_scale = 2 ** (len(vae.cfg.block_out_channels) - 1)
+        self.text_time = text_time  # SDXL pooled + crop-info conditioning
         self.unet_apply = unet_apply
         self.unet_params = unet_params
         self.unet_params_neg = None   # DreamArtist negative branch (optional)
@@ -138,6 +140,13 @@ class DiffusionPipeline:
                 if isinstance(negative_prompt, str) else list(negative_prompt))
         B = len(prompts)
         ctx, pooled = self.encode_prompts(prompts, negs, emb_ext)
+        if self.text_time and extra_cond is None:
+            # SDXL conditioning: pooled text emb + [orig_h, orig_w, crop_y,
+            # crop_x, tgt_h, tgt_w] time_ids, CFG-doubled like ctx
+            tid = jnp.asarray([height, width, 0, 0, height, width],
+                              jnp.float32)
+            extra_cond = {'pooled_text_emb': pooled,
+                          'time_ids': jnp.tile(tid[None], (2 * B, 1))}
         h, w = height // self.vae_scale, width // self.vae_scale
         rng = jax.random.PRNGKey(seed)
         rng, r_init, r_loop = jax.random.split(rng, 3)

@@ -129,20 +129,31 @@ class Visualizer:
         if rows:
             self.emb_ext = jnp.asarray(np.concatenate(rows, axis=0))
 
-        self.frontend = TextEncoderFrontend(
-            self.tokenizer, world['te'], self.te_params,
-            n_repeats=int(mcfg.get('tokenizer_repeats', 1)),
-            clip_skip=int(mcfg.get('clip_skip', 0)),
-            clip_final_norm=bool(mcfg.get('clip_final_norm', True)))
+        self.sdxl = bool(world.get('sdxl'))
+        if self.sdxl:
+            from ..models.compose.sdxl_te import SDXLTextEncoderFrontend
+            self.frontend = SDXLTextEncoderFrontend(
+                self.tokenizer, world['te'], self.te_params,
+                world['te2'], world['te2_params'],
+                n_repeats=int(mcfg.get('tokenizer_repeats', 1)),
+                clip_skip=int(mcfg.get('clip_skip', 1)),
+                clip_final_norm=bool(mcfg.get('clip_final_norm', False)))
+        else:
+            self.frontend = TextEncoderFrontend(
+                self.tokenizer, world['te'], self.te_params,
+                n_repeats=int(mcfg.get('tokenizer_repeats', 1)),
+                clip_skip=int(mcfg.get('clip_skip', 0)),
+                clip_final_norm=bool(mcfg.get('clip_final_norm', True)))
 
         unet = world['unet']
 
         def unet_apply(p, x, t, ctx, **extra):
             return unet.apply({'params': p}, x, t, ctx, **extra)
 
-        self.pipe = DiffusionPipeline(unet_apply, self.unet_params,
-                                      world['vae'], world['vae_params'],
-                                      self.frontend, schedule=self.schedule)
+        self.pipe = DiffusionPipeline(
+            unet_apply, self.unet_params, world['vae'], world['vae_params'],
+            self.frontend, schedule=self.schedule,
+            text_time=(world['unet_cfg'].addition_embed_type == 'text_time'))
         self.pipe.unet_params_neg = self.unet_params_neg
 
         # output interfaces
@@ -159,20 +170,45 @@ class Visualizer:
             self.interfaces = [DiskInterface(cfgs.get('output_dir', 'output/'))]
 
     # ------------------------------------------------------------- run ----
+    def _load_image(self, path: str, width: int, height: int) -> jnp.ndarray:
+        from PIL import Image
+        from ..data.utils import to_model_input
+        img = Image.open(path).convert('RGB').resize((width, height),
+                                                     Image.BICUBIC)
+        return jnp.asarray(to_model_input(img))[None]
+
     def vis_images(self, prompt, negative_prompt='', **kw) -> np.ndarray:
         ia = dict(self.cfgs.get('infer_args') or {})
         ia.update(kw)
         seed = ia.pop('seed', self.cfgs.get('seed'))
         if seed is None:
             seed = int(time.time()) % (1 << 31)
-        return self.pipe.txt2img(
-            prompt, negative_prompt,
-            width=int(ia.get('width', 512)), height=int(ia.get('height', 512)),
-            num_steps=int(ia.get('inference_steps', ia.get('num_steps', 20))),
-            guidance_scale=float(ia.get('guidance_scale', 7.5)),
-            sampler=str(ia.get('sampler', 'dpm++_2m')),
-            seed=int(seed), batch_size=int(self.cfgs.get('bs', 1)),
-            emb_ext=self.emb_ext)
+        mode = str(self.cfgs.get('mode', 't2i')).lower()
+        width, height = int(ia.get('width', 512)), int(ia.get('height', 512))
+        common = dict(num_steps=int(ia.get('inference_steps',
+                                           ia.get('num_steps', 20))),
+                      guidance_scale=float(ia.get('guidance_scale', 7.5)),
+                      sampler=str(ia.get('sampler', 'dpm++_2m')),
+                      seed=int(seed), emb_ext=self.emb_ext)
+        if mode in ('i2i', 'img2img', 'inpaint') and self.cfgs.get('init_image'):
+            init = self._load_image(self.cfgs['init_image'], width, height)
+            init_lat = self.pipe.encode(init)
+            strength = float(ia.get('strength', 0.75))
+            if mode == 'inpaint' and self.cfgs.get('mask_image'):
+                from PIL import Image
+                m = Image.open(self.cfgs['mask_image']).convert('L')
+                m = m.resize((init_lat.shape[2], init_lat.shape[1]))
+                mask = (jnp.asarray(np.asarray(m), jnp.float32) / 255.0
+                        )[None, :, :, None]
+                return self.pipe.inpaint(init_lat, mask, prompt,
+                                         negative_prompt, strength=strength,
+                                         **common)
+            return self.pipe.img2img(init_lat, prompt, negative_prompt,
+                                     strength=strength, **common)
+        return self.pipe.txt2img(prompt, negative_prompt, width=width,
+                                 height=height,
+                                 batch_size=int(self.cfgs.get('bs', 1)),
+                                 **common)
 
     def vis_to_dir(self, prompt=None, negative_prompt=None, num: int = 1, **kw):
         prompt = prompt if prompt is not None else self.cfgs.get('prompt', '')
