@@ -27,16 +27,20 @@ from .unet import (Downsample2D, ResnetBlock2D, Transformer2D, UNetConfig,
 
 
 class ControlNetConditioningEmbedding(nn.Module):
-    """Encode the cond image (e.g. canny/pose, full res) down to latent res."""
+    """Encode the cond image (e.g. canny/pose, full res) down to latent res.
+    ``stages`` stride-2 convs bridge image->latent resolution
+    (3 for the SD /8 VAE)."""
     out_channels: int
+    stages: int = 3
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, cond: jnp.ndarray) -> jnp.ndarray:
-        chans = (16, 32, 96, 256)
+        chans = tuple(min(16 * 2 ** i if i < 2 else 96 if i == 2 else 256, 256)
+                      for i in range(self.stages + 1))
         x = _conv(chans[0], 3, self.dtype, 'conv_in')(cond)
         x = jax.nn.silu(x)
-        for i in range(len(chans) - 1):
+        for i in range(self.stages):
             x = _conv(chans[i], 3, self.dtype, f'blocks_{2 * i}')(x)
             x = jax.nn.silu(x)
             x = _conv(chans[i + 1], 3, self.dtype, f'blocks_{2 * i + 1}',
@@ -52,6 +56,7 @@ class ControlNet(nn.Module):
     """Down+mid copy of the UNet producing per-skip residuals + mid residual."""
     cfg: UNetConfig
     dtype: Any = jnp.bfloat16
+    cond_stages: int = 3   # stride-2 stages in the cond embedding (= log2 vae_scale)
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
@@ -71,7 +76,7 @@ class ControlNet(nn.Module):
 
         x = _conv(c.block_out_channels[0], 3, self.dtype, 'conv_in')(sample.astype(self.dtype))
         x = x + ControlNetConditioningEmbedding(
-            c.block_out_channels[0], dtype=self.dtype,
+            c.block_out_channels[0], stages=self.cond_stages, dtype=self.dtype,
             name='cond_embedding')(cond.astype(self.dtype))
 
         def zero_conv(ch, name):

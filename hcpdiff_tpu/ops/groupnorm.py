@@ -21,14 +21,33 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
                     eps: float, apply_silu: bool):
+    """Group stats via an indicator matmul (Mosaic dislikes minor-dim
+    reshapes): M[c,g] = 1 if channel c belongs to group g; group sums are
+    x.sum(0) @ M — 2D ops only, lands on the MXU."""
     x = x_ref[0].astype(jnp.float32)            # [S, C]
     S, C = x.shape
     cg = C // groups
-    xg = x.reshape(S, groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(S, C)
-    y = xn * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    chan = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
+    M = (chan // cg == grp).astype(jnp.float32)  # [C, G]
+
+    s1 = jnp.sum(x, axis=0, keepdims=True)       # [1, C]
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)   # [1, C]
+    n = float(S * cg)
+    gsum = jax.lax.dot_general(s1, M, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)   # [1, G]
+    gsq = jax.lax.dot_general(s2, M, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    mean_g = gsum / n
+    var_g = gsq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)           # [1, G]
+    # broadcast back to channels: [1, G] @ M^T -> [1, C]
+    mean_c = jax.lax.dot_general(mean_g, M, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    inv_c = jax.lax.dot_general(inv_g, M, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    y = (x - mean_c) * inv_c
+    y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)

@@ -79,7 +79,8 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
                      tx: optax.GradientTransformation,
                      tx_pt: Optional[optax.GradientTransformation],
                      cfg: StepConfig,
-                     lora_scales: Optional[Dict[str, Dict[str, float]]] = None):
+                     lora_scales: Optional[Dict[str, Dict[str, float]]] = None,
+                     controlnet_apply: Optional[Callable] = None):
     """Returns ``train_step(state, frozen, batch, rng)``.
 
     unet_apply(params, x, t, ctx, **extra) -> eps
@@ -127,6 +128,12 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
                                              lora_scales)
             ctx, _ = te_encode(te_p, batch['input_ids'],
                                batch.get('token_mult'), emb_ext)
+            if (controlnet_apply is not None and 'controlnet' in pack
+                    and batch.get('cond') is not None):
+                down_res, mid_res = controlnet_apply(
+                    pack['controlnet'], noisy, t, ctx, batch['cond'])
+                extra = dict(extra, down_residuals=down_res,
+                             mid_residual=mid_res)
             pred = unet_apply(unet_p, noisy, t, ctx, **extra)
 
         loss = criterion(pred, target, t)

@@ -173,21 +173,31 @@ class Trainer:
         # batch_size is per-device (reference: per-GPU, train_ac.py:306);
         # the global batch fed to the jitted step is bs * n_devices.
         bs = int(ds_cfg.get('batch_size', 4)) * self.world_size
+        from ..data.sources import (T2IFolderClassSource, Text2ImageAttMapSource,
+                                    Text2ImageCondSource)
+        src_classes = {'Text2ImageCondSource': Text2ImageCondSource,
+                       'T2IFolderClassSource': T2IFolderClassSource,
+                       'Text2ImageAttMapSource': Text2ImageAttMapSource,
+                       'Text2ImageSource': Text2ImageSource}
         sources = []
         for sname, s_cfg in (ds_cfg.get('source') or {}).items():
             s = dict(s_cfg)
-            s.pop('_target_', None)
+            tgt = str(s.pop('_target_', 'Text2ImageSource')).split('.')[-1]
+            cls = src_classes.get(tgt, Text2ImageSource)
             s.pop('bg_color', None)
             s.pop('att_mask_encode', None)
             tt = s.pop('text_transforms', None)
             word_names = s.pop('word_names', {}) or {}
-            src = Text2ImageSource(
-                img_root=s.get('img_root', '.'),
-                caption_file=s.get('caption_file'),
-                prompt_template=s.get('prompt_template'),
-                repeat=int(s.get('repeat', 1)),
-                word_names=word_names)
-            sources.append(src)
+            kw = dict(img_root=s.get('img_root', '.'),
+                      caption_file=s.get('caption_file'),
+                      prompt_template=s.get('prompt_template'),
+                      repeat=int(s.get('repeat', 1)),
+                      word_names=word_names)
+            if cls is Text2ImageCondSource:
+                kw['cond_root'] = s.get('cond_root')
+            if cls is Text2ImageAttMapSource:
+                kw['att_map_root'] = s.get('att_map') or s.get('att_map_root')
+            sources.append(cls(**kw))
         source = sources[0] if len(sources) == 1 else None
         if source is None:
             from ..data.sources import ComposeDataSource
@@ -293,6 +303,28 @@ class Trainer:
             for item in train_items:
                 self.pt_lrs[item['name']] = float(item.get('lr', 3e-3))
 
+        # plugins (ControlNet): a trainable sibling network in the pack
+        self.controlnet = None
+        plug_cfg = cfgs.get('plugin_unet') or {}
+        for pname, spec in dict(plug_cfg).items():
+            tgt = str((spec or {}).get('_target_', ''))
+            if 'ControlNet' in tgt:
+                import math
+                from ..models.controlnet import ControlNet, init_from_unet
+                lat = 2 ** (len(self.vae.cfg.block_out_channels) - 1)
+                self.controlnet = ControlNet(self.unet.cfg, dtype=self.dtype,
+                                             cond_stages=int(math.log2(lat)))
+                cn_params = self.controlnet.init(
+                    jax.random.PRNGKey(self.seed + 7),
+                    jnp.zeros((1, 8, 8, self.unet.cfg.in_channels)),
+                    jnp.array([0]),
+                    jnp.zeros((1, 77, self.unet.cfg.cross_attention_dim)),
+                    jnp.zeros((1, 8 * lat, 8 * lat, 3)))['params']
+                cn_params = init_from_unet(jax.device_get(cn_params),
+                                           jax.device_get(self.unet_params))
+                pack['controlnet'] = jax.tree_util.tree_map(jnp.asarray, cn_params)
+                self.group_lrs['controlnet'] = float(spec.get('lr', 1e-4))
+
         self.pack = pack
         self.dream_artist = 'lora_unet_neg' in pack or 'lora_te_neg' in pack
 
@@ -386,15 +418,28 @@ class Trainer:
         def te_encode(p, ids, tm, ext):
             return frontend.encode_ids(p, ids, tm, emb_ext=ext)
 
+        cn_apply = None
+        if self.controlnet is not None:
+            cn = self.controlnet
+            cn_apply = lambda p, x, t, ctx, cond: cn.apply(
+                {'params': p}, x, t, ctx, cond)
+
         self._train_step = jax.jit(build_train_step(
             unet_apply, te_encode, self.noise_schedule, crit,
-            self.tx, self.tx_pt, step_cfg, self.lora_scales))
+            self.tx, self.tx_pt, step_cfg, self.lora_scales,
+            controlnet_apply=cn_apply))
         self.state = init_train_state(self.pack, self.tx, self.tx_pt,
                                       use_ema=self.use_ema)
         self.frozen = {'unet': self.unet_params, 'te': self.te_params}
-        # replicate over the mesh
+        # replicate over the mesh; optionally ZeRO-1-shard optimizer state
         self.state = replicate(self.state, self.mesh)
         self.frozen = replicate(self.frozen, self.mesh)
+        if bool((self.cfgs.get('train') or {}).get('zero1', False)) \
+                and self.world_size > 1:
+            from ..parallel.mesh import zero1_shardings
+            sh = zero1_shardings(self.state.opt_state, self.mesh)
+            self.state = self.state.replace(
+                opt_state=jax.device_put(self.state.opt_state, sh))
 
     # ------------------------------------------------------------ train ----
     def train(self):
@@ -404,9 +449,18 @@ class Trainer:
         t0 = time.perf_counter()
         step = self.start_step
         loss_ema = None
+        encode = None
         for batch_list in self.data_group:
             for batch in batch_list:
                 batch = {k: v for k, v in batch.items() if k != 'prompts'}
+                if 'images' in batch and 'latents' not in batch:
+                    # uncached path: VAE-encode on device (reference
+                    # get_latents, train_ac.py:428-435)
+                    if encode is None:
+                        encode = jax.jit(lambda x: self.vae.apply(
+                            {'params': self.vae_params}, x, method='encode')[0]
+                            * self.vae.cfg.scaling_factor)
+                    batch['latents'] = encode(jnp.asarray(batch.pop('images')))
                 batch = shard_batch(batch, self.mesh)
                 rng, sub = jax.random.split(rng)
                 self.state, metrics = self._train_step(self.state, self.frozen,
@@ -449,6 +503,11 @@ class Trainer:
                              f'text_encoder-{step}{self.ckpt_manager.ext}'),
                 base=pack.get('te_ft'), lora_overlay=pack.get('lora_te'),
                 base_ema=ema.get('te_ft'), lora_ema=ema.get('lora_te'))
+        if 'controlnet' in pack:
+            self.ckpt_manager.save_plugins(
+                os.path.join(self.exp_dir, 'ckpts',
+                             f'plugin-{step}{self.ckpt_manager.ext}'),
+                {'controlnet1': pack['controlnet']})
         if 'emb' in pack:
             for name, sl in self.emb_slices.items():
                 if name in self.train_emb_names:
