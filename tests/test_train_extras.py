@@ -29,10 +29,10 @@ def test_controlnet_training_e2e(proj):
     cfg = containerize({
         'exp_dir': str(proj / 'exp_cn'),
         'mixed_precision': 'fp32', 'seed': 1, 'ckpt_type': 'safetensors',
-        'train': {'train_steps': 2, 'save_step': 2,
+        'train': {'train_steps': 4, 'save_step': 4,
                   'loss': {'criterion': {'_target_': 'mse'}},
                   'optimizer': {'_target_': 'optim.adamw'},
-                  'scheduler': {'name': 'constant', 'num_training_steps': 2}},
+                  'scheduler': {'name': 'constant', 'num_training_steps': 4}},
         'model': {'pretrained_model_name_or_path': 'tiny',
                   'gradient_checkpointing': False},
         'plugin_unet': {'controlnet1': {
@@ -52,14 +52,20 @@ def test_controlnet_training_e2e(proj):
     })
     t = Trainer(cfg)
     assert 'controlnet' in t.pack
-    cn0 = np.asarray(jax.device_get(
-        t.pack['controlnet']['cond_embedding']['blocks_0']['kernel'])).copy()
+    zm0 = np.asarray(jax.device_get(
+        t.pack['controlnet']['zero_mid']['kernel'])).copy()
+    ce0 = np.asarray(jax.device_get(
+        t.pack['controlnet']['cond_embedding']['conv_out']['kernel'])).copy()
     t.train()
-    cn1 = np.asarray(jax.device_get(
-        t.state.pack['controlnet']['cond_embedding']['blocks_0']['kernel']))
-    assert not np.allclose(cn0, cn1)  # controlnet actually trained
+    # zero heads get gradients immediately; the cond embedding unblocks once
+    # the zero convs become nonzero (step 2+)
+    zm1 = np.asarray(jax.device_get(t.state.pack['controlnet']['zero_mid']['kernel']))
+    ce1 = np.asarray(jax.device_get(
+        t.state.pack['controlnet']['cond_embedding']['conv_out']['kernel']))
+    assert not np.allclose(zm0, zm1)
+    assert not np.allclose(ce0, ce1)
     assert os.path.exists(os.path.join(cfg['exp_dir'], 'ckpts',
-                                       'plugin-2.safetensors'))
+                                       'plugin-4.safetensors'))
 
 
 def test_cond_source_dataset_batches(proj):
