@@ -112,7 +112,7 @@ class GroupLinear(nn.Module):
 ACT = {
     'silu': jax.nn.silu,
     'swish': jax.nn.silu,
-    'gelu': jax.nn.gelu,
+    'gelu': lambda x: jax.nn.gelu(x, approximate=False),
     'quick_gelu': quick_gelu,
     'relu': jax.nn.relu,
     'mish': lambda x: x * jnp.tanh(jax.nn.softplus(x)),

@@ -165,7 +165,7 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = _dense(inner * 2, self.dtype, 'proj')(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate)
+        h = h * jax.nn.gelu(gate, approximate=False)
         return _dense(self.dim, self.dtype, 'out')(h)
 
 
