@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
@@ -54,8 +54,8 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
 
 
 def _fits(S: int, C: int, itemsize: int) -> bool:
-    # input + fp32 working copy
-    return S * C * (itemsize + 4) < VMEM_BUDGET_BYTES
+    # in + out blocks + ~3 fp32 temporaries (x, x*x, y) live at once
+    return S * C * (2 * itemsize + 12) < VMEM_BUDGET_BYTES
 
 
 def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
