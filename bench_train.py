@@ -1,0 +1,94 @@
+"""Secondary headline benchmark: SD1.5 LoRA fine-tune samples/sec/chip
+(ARB-style 512px latents, Min-SNR loss, cached latents — the BASELINE.md
+training metric). Prints ONE JSON line like bench.py.
+"""
+import json
+import os
+import time
+
+BASELINE_SAMPLES_PER_S = 6.0  # A100+xFormers SD1.5 LoRA bs=4 estimate
+
+
+def main():
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ['JAX_COMPILATION_CACHE_DIR'])
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from hcpdiff_tpu.adapt.overlay import make_lora_overlay
+    from hcpdiff_tpu.diffusion.losses import MinSNRLoss
+    from hcpdiff_tpu.diffusion.schedules import NoiseSchedule
+    from hcpdiff_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from hcpdiff_tpu.models.text_frontend import TextEncoderFrontend
+    from hcpdiff_tpu.models.unet import UNetConfig, UNet2DCondition
+    from hcpdiff_tpu.trainer.step import (StepConfig, build_train_step,
+                                          init_train_state)
+    from hcpdiff_tpu.utils.clip_tokenizer import CLIPTokenizer
+
+    B = int(os.environ.get('BENCH_BATCH', '8'))
+    lat = int(os.environ.get('BENCH_SIZE', '512')) // 8
+    dtype = jnp.bfloat16
+
+    ucfg = UNetConfig.sd15()
+    unet = UNet2DCondition(ucfg, dtype=dtype, remat=True)
+    unet_params = unet.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, lat, lat, 4)), jnp.array([0]),
+                            jnp.zeros((1, 77, 768)))['params']
+    tcfg = CLIPTextConfig.sd15()
+    te = CLIPTextModel(tcfg, dtype=jnp.float32)
+    te_params = te.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))['params']
+
+    schedule = NoiseSchedule.make()
+    overlay, scales = make_lora_overlay(
+        jax.random.PRNGKey(2), unet_params,
+        [{'layers': ['re:.*attn[12]\\.to_(q|k|v|out)$', 're:.*ff\\.(proj|out)$'],
+          'rank': 8}])
+    pack = {'lora_unet': overlay}
+
+    def unet_apply(p, x, t, ctx, **e):
+        return unet.apply({'params': p}, x, t, ctx, **e)
+
+    def te_encode(p, ids, tm, ext):
+        last, pooled, _ = te.apply({'params': p}, ids, emb_ext=ext,
+                                   embedding_multiplier=tm)
+        return last, pooled
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    step = jax.jit(build_train_step(unet_apply, te_encode, schedule,
+                                    MinSNRLoss(schedule), tx, None,
+                                    StepConfig(), {'lora_unet': scales}),
+                   donate_argnums=(0,))
+    state = init_train_state(pack, tx)
+    frozen = {'unet': unet_params, 'te': te_params}
+
+    rng = np.random.default_rng(0)
+    batch = {'latents': jnp.asarray(rng.normal(size=(B, lat, lat, 4)),
+                                    jnp.float32),
+             'input_ids': jnp.asarray(rng.integers(0, 49405, size=(B, 77)),
+                                      jnp.int32)}
+
+    state, m = step(state, frozen, batch, jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(m)
+
+    iters = int(os.environ.get('BENCH_ITERS', '10'))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, frozen, batch, jax.random.PRNGKey(i + 2))
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    sps = B * iters / dt
+    print(json.dumps({
+        'metric': 'SD1.5 512px LoRA fine-tune (Min-SNR, bf16, remat)',
+        'value': round(sps, 4), 'unit': 'samples/sec/chip',
+        'vs_baseline': round(sps / BASELINE_SAMPLES_PER_S, 4)}))
+
+
+if __name__ == '__main__':
+    main()
