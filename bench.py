@@ -36,7 +36,7 @@ def main():
     from hcpdiff_tpu.models.unet import UNetConfig, UNet2DCondition
     from hcpdiff_tpu.models.vae import VAEConfig, AutoencoderKL
 
-    batch = int(os.environ.get('BENCH_BATCH', '4'))
+    batch = int(os.environ.get('BENCH_BATCH', '8'))
     steps = int(os.environ.get('BENCH_STEPS', '20'))
     size = int(os.environ.get('BENCH_SIZE', '512'))
     lat = size // 8
@@ -51,6 +51,13 @@ def main():
     vae = AutoencoderKL(vcfg, dtype=dtype)
     vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
                           jax.random.PRNGKey(2))['params']
+
+    # inference-time weight cast: params live in HBM as bf16, halving the
+    # weight reads each of the 2x20 UNet invocations per generation
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
+    unet_params = cast(unet_params)
+    vae_params = cast(vae_params)
 
     def unet_apply(p, x, t, ctx):
         return unet.apply({'params': p}, x, t, ctx)

@@ -115,6 +115,15 @@ class Visualizer:
         self.unet_params = unet_merger.merged()
         self.unet_params_neg = neg_merger.merged() if has_neg else None
         self.te_params = te_merger.merged()
+        if self.dtype == jnp.bfloat16:
+            # inference weight cast: halves HBM weight traffic per UNet call
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, t)
+            self.unet_params = cast(self.unet_params)
+            if self.unet_params_neg is not None:
+                self.unet_params_neg = cast(self.unet_params_neg)
+            world['vae_params'] = cast(world['vae_params'])
 
         # --- embeddings dir ---
         emb_dir = (cfgs.get('emb_dir') or mcfg.get('emb_dir'))
