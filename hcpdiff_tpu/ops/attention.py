@@ -45,13 +45,13 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if use_flash is None:
         import os
-        # Default crossover: XLA's fused attention wins at SD's short seqs
-        # (head dims 40/80 pad to 128 lanes in the Pallas kernel); the flash
-        # kernel wins where the S^2 logits no longer fit fusion windows.
-        # Measured end-to-end on v5e: 512px SD1.5 bench 1.69 img/s (XLA) vs
-        # 1.44 (flash) — so flash engages at >=8192 (i.e. >768px) or when
-        # HCP_FLASH_ATTN=1 forces it.
-        threshold = 8192 if os.environ.get('HCP_FLASH_ATTN') != '1' else 256
+        # Crossover measured on v5e (scan-amortized, B8 H8 D40):
+        #   S=4096: ours 16.9ms vs XLA 18.7ms vs jax-lib flash 33.7ms
+        #   S<=1024: XLA wins (head dims 40/80 pad to 128 lanes here).
+        # So flash engages at the 4096-seq level-0 self-attention only;
+        # HCP_FLASH_ATTN=1 forces it everywhere, =0 disables.
+        force = os.environ.get('HCP_FLASH_ATTN')
+        threshold = {None: 4096, '1': 256, '0': 1 << 30}.get(force, 4096)
         use_flash = (jax.default_backend() == 'tpu' and bias is None
                      and q.shape[-2] >= threshold and q.shape[-2] == k.shape[-2]
                      and q.shape[-2] % 128 == 0 and q.shape[-1] <= 256)
