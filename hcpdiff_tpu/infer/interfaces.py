@@ -56,6 +56,36 @@ class DiskInterface(BaseInterface):
         return paths
 
 
+class DiskAnimInterface(DiskInterface):
+    """Also saves the intermediate-step x0 previews as an animated webp
+    (reference vis/disk_interface.py intermediate-step animation)."""
+    need_inter_imgs = True
+
+    def __init__(self, *a, frame_ms: int = 150, **kw):
+        super().__init__(*a, **kw)
+        self.frame_ms = int(frame_ms)
+        self._frames = []
+
+    def on_inter_step(self, i, num_steps, t, latents, images):
+        if images is not None:
+            self._frames.append(np.asarray(images))
+
+    def on_infer_finish(self, images, info=None):
+        from PIL import Image
+        paths = super().on_infer_finish(images, info)
+        if self._frames:
+            for b in range(self._frames[0].shape[0]):
+                frames = [Image.fromarray(
+                    (np.clip(f[b], 0, 1) * 255).astype(np.uint8))
+                    for f in self._frames]
+                frames[0].save(
+                    os.path.join(self.save_root, f'{self.counter - 1}-steps.webp'),
+                    save_all=True, append_images=frames[1:],
+                    duration=self.frame_ms, loop=0)
+            self._frames = []
+        return paths
+
+
 class WebUIInterface(BaseInterface):
     need_inter_imgs = False
 

@@ -114,11 +114,13 @@ class DiffusionPipeline:
         self._encode = jax.jit(lambda p, x: self.vae.apply(
             {'params': p}, x, method='encode'))
 
-    def _loop(self, sampler_name: str, steps: int, **kw) -> DenoiseLoop:
-        key = (sampler_name, steps, tuple(sorted(kw.items())))
+    def _loop(self, sampler_name: str, steps: int, return_x0: bool = False,
+              **kw) -> DenoiseLoop:
+        key = (sampler_name, steps, return_x0, tuple(sorted(kw.items())))
         if key not in self._loops:
             sampler = make_sampler(sampler_name, self.schedule, steps, **kw)
-            self._loops[key] = DenoiseLoop(self.unet_apply, sampler)
+            self._loops[key] = DenoiseLoop(self.unet_apply, sampler,
+                                           return_x0_every=int(return_x0))
         return self._loops[key]
 
     # ---- prompt handling ----
@@ -134,7 +136,8 @@ class DiffusionPipeline:
                 num_steps=20, guidance_scale=7.5, sampler='dpm++_2m',
                 seed: int = 0, batch_size: int = 1, emb_ext=None,
                 extra_cond=None, sampler_kwargs: Optional[dict] = None,
-                return_latents: bool = False):
+                return_latents: bool = False,
+                return_x0_history: bool = False):
         prompts = [prompt] * batch_size if isinstance(prompt, str) else list(prompt)
         negs = ([negative_prompt] * len(prompts)
                 if isinstance(negative_prompt, str) else list(negative_prompt))
@@ -151,10 +154,13 @@ class DiffusionPipeline:
         rng = jax.random.PRNGKey(seed)
         rng, r_init, r_loop = jax.random.split(rng, 3)
         latents = jax.random.normal(r_init, (B, h, w, self.latent_channels))
-        loop = self._loop(sampler, num_steps, **(sampler_kwargs or {}))
-        latents, _ = loop(self.unet_params, latents, ctx, r_loop, guidance_scale,
-                          extra_cond=extra_cond,
-                          unet_params_neg=self.unet_params_neg)
+        loop = self._loop(sampler, num_steps, return_x0=return_x0_history,
+                          **(sampler_kwargs or {}))
+        latents, x0s = loop(self.unet_params, latents, ctx, r_loop,
+                            guidance_scale, extra_cond=extra_cond,
+                            unet_params_neg=self.unet_params_neg)
+        if return_x0_history:
+            return (latents if return_latents else self.decode(latents)), x0s
         if return_latents:
             return latents
         return self.decode(latents)

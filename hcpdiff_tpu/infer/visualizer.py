@@ -171,10 +171,16 @@ class Visualizer:
             spec = dict(item)
             tgt = str(spec.pop('_target_', 'disk')).lower()
             spec.pop('_partial_', None)
-            if 'disk' in tgt:
-                self.interfaces.append(DiskInterface(
-                    save_root=spec.get('save_root', 'output/'),
-                    image_type=spec.get('image_type', 'png')))
+            kwargs = dict(save_root=spec.get('save_root', 'output/'),
+                          image_type=spec.get('image_type', 'png'))
+            if 'anim' in tgt or spec.get('show_steps'):
+                from .interfaces import DiskAnimInterface
+                self.interfaces.append(DiskAnimInterface(**kwargs))
+            elif 'webui' in tgt:
+                from .interfaces import WebUIInterface
+                self.interfaces.append(WebUIInterface())
+            elif 'disk' in tgt:
+                self.interfaces.append(DiskInterface(**kwargs))
         if not self.interfaces:
             self.interfaces = [DiskInterface(cfgs.get('output_dir', 'output/'))]
 
@@ -193,6 +199,7 @@ class Visualizer:
         if seed is None:
             seed = int(time.time()) % (1 << 31)
         mode = str(self.cfgs.get('mode', 't2i')).lower()
+        want_hist = bool(ia.pop('return_x0_history', False))
         width, height = int(ia.get('width', 512)), int(ia.get('height', 512))
         common = dict(num_steps=int(ia.get('inference_steps',
                                            ia.get('num_steps', 20))),
@@ -217,7 +224,7 @@ class Visualizer:
         return self.pipe.txt2img(prompt, negative_prompt, width=width,
                                  height=height,
                                  batch_size=int(self.cfgs.get('bs', 1)),
-                                 **common)
+                                 return_x0_history=want_hist, **common)
 
     def vis_to_dir(self, prompt=None, negative_prompt=None, num: int = 1, **kw):
         prompt = prompt if prompt is not None else self.cfgs.get('prompt', '')
@@ -225,10 +232,22 @@ class Visualizer:
                            else self.cfgs.get('neg_prompt', ''))
         all_imgs = []
         base_seed = self.cfgs.get('seed')
+        want_inter = any(getattr(i, 'need_inter_imgs', False)
+                         for i in self.interfaces)
         for i in range(num):
             seed = (int(base_seed) + i) if base_seed is not None else None
-            imgs = self.vis_images(prompt, negative_prompt,
-                                   **(dict(kw, seed=seed) if seed is not None else kw))
+            kw2 = dict(kw, seed=seed) if seed is not None else dict(kw)
+            if want_inter:
+                out = self.vis_images(prompt, negative_prompt,
+                                      return_x0_history=True, **kw2)
+                imgs, x0s = out
+                n_steps = x0s.shape[0]
+                for si in range(n_steps):
+                    frame = self.pipe.decode(x0s[si])
+                    for itf in self.interfaces:
+                        itf.on_inter_step(si, n_steps, None, x0s[si], frame)
+            else:
+                imgs = self.vis_images(prompt, negative_prompt, **kw2)
             info = {'prompt': prompt, 'negative_prompt': negative_prompt,
                     'seed': seed, **to_plain(self.cfgs.get('infer_args') or {})}
             for itf in self.interfaces:

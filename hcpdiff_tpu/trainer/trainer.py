@@ -424,10 +424,11 @@ class Trainer:
             cn_apply = lambda p, x, t, ctx, cond: cn.apply(
                 {'params': p}, x, t, ctx, cond)
 
+        # donate the state: optimizer/EMA buffers update in place on device
         self._train_step = jax.jit(build_train_step(
             unet_apply, te_encode, self.noise_schedule, crit,
             self.tx, self.tx_pt, step_cfg, self.lora_scales,
-            controlnet_apply=cn_apply))
+            controlnet_apply=cn_apply), donate_argnums=(0,))
         self.state = init_train_state(self.pack, self.tx, self.tx_pt,
                                       use_ema=self.use_ema)
         self.frozen = {'unet': self.unet_params, 'te': self.te_params}
