@@ -77,6 +77,8 @@ class ModelMerger:
 
 class Visualizer:
     def __init__(self, cfgs: Cfg):
+        from ..config.legacy import InferCFGConverter
+        cfgs = InferCFGConverter().convert(cfgs)
         self.cfgs = cfgs
         mcfg = cfgs.get('model') or Cfg()
         self.dtype = jnp.bfloat16 if str(cfgs.get('dtype', 'bf16')) in (

@@ -46,6 +46,8 @@ from ..utils.cfg_parse import get_cfg_range
 
 class Trainer:
     def __init__(self, cfgs: Cfg):
+        from ..config.legacy import TrainCFGConverter
+        cfgs = TrainCFGConverter().convert(cfgs)
         self.cfgs = cfgs
         self.exp_dir = cfgs.get('exp_dir', f'exps/{time.strftime("%Y-%m-%d-%H-%M-%S")}')
         if is_main_process():
