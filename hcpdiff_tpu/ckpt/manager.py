@@ -126,32 +126,43 @@ class CkptManagerDiffusers(CkptManagerSafe):
 
     def save_pipeline(self, out_dir: str, unet_params, unet_cfg,
                       vae_params=None, vae_cfg=None,
-                      te_params=None, te_num_layers: int = 12) -> None:
+                      te_params=None, te_num_layers: int = 12,
+                      te_cfg=None) -> None:
+        import dataclasses
         import json
         from .sd_convert import (unet_params_to_torch, vae_params_to_torch,
                                  clip_params_to_torch)
         from .formats import save_safetensors
-        os.makedirs(out_dir, exist_ok=True)
-        ud = os.path.join(out_dir, 'unet')
-        os.makedirs(ud, exist_ok=True)
-        save_safetensors({k: np.asarray(v) for k, v in
-                          unet_params_to_torch(_to_numpy_tree(unet_params),
-                                               unet_cfg).items()},
-                         os.path.join(ud, 'diffusion_pytorch_model.safetensors'))
+
+        def write(sub, sd, cfg_dict, fname):
+            d = os.path.join(out_dir, sub)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, 'config.json'), 'w') as f:
+                json.dump(cfg_dict, f, indent=2)
+            save_safetensors({k: np.asarray(v) for k, v in sd.items()},
+                             os.path.join(d, fname))
+
+        ucfg_d = dataclasses.asdict(unet_cfg)
+        ucfg_d['_class_name'] = 'UNet2DConditionModel'
+        ucfg_d['attention_head_dim'] = list(unet_cfg.num_heads)
+        write('unet', unet_params_to_torch(_to_numpy_tree(unet_params), unet_cfg),
+              ucfg_d, 'diffusion_pytorch_model.safetensors')
         if vae_params is not None and vae_cfg is not None:
-            vd = os.path.join(out_dir, 'vae')
-            os.makedirs(vd, exist_ok=True)
-            save_safetensors({k: np.asarray(v) for k, v in
-                              vae_params_to_torch(_to_numpy_tree(vae_params),
-                                                  vae_cfg).items()},
-                             os.path.join(vd, 'diffusion_pytorch_model.safetensors'))
+            vcfg_d = dataclasses.asdict(vae_cfg)
+            vcfg_d['_class_name'] = 'AutoencoderKL'
+            write('vae', vae_params_to_torch(_to_numpy_tree(vae_params), vae_cfg),
+                  vcfg_d, 'diffusion_pytorch_model.safetensors')
         if te_params is not None:
-            td = os.path.join(out_dir, 'text_encoder')
-            os.makedirs(td, exist_ok=True)
-            save_safetensors({k: np.asarray(v) for k, v in
-                              clip_params_to_torch(_to_numpy_tree(te_params),
-                                                   te_num_layers).items()},
-                             os.path.join(td, 'model.safetensors'))
+            if te_cfg is not None:
+                te_num_layers = te_cfg.num_hidden_layers
+                tcfg_d = dataclasses.asdict(te_cfg)
+                tcfg_d['architectures'] = ['CLIPTextModel']
+            else:
+                tcfg_d = {'architectures': ['CLIPTextModel'],
+                          'num_hidden_layers': te_num_layers}
+            write('text_encoder',
+                  clip_params_to_torch(_to_numpy_tree(te_params), te_num_layers),
+                  tcfg_d, 'model.safetensors')
 
 
 class CkptManagerWebui(CkptManagerSafe):

@@ -259,14 +259,17 @@ class Visualizer:
 
     # ------------------------------------------------------- save_model ----
     def save_model(self, path: str):
-        """Collapse merged LoRAs into base weights and export torch-layout
-        state dicts (reference visualizer.py:81-97)."""
-        from ..ckpt.sd_convert import unet_params_to_torch
-        from ..ckpt.formats import save_safetensors
-        sd = unet_params_to_torch(jax.device_get(self.unet_params),
-                                  self.world['unet_cfg'])
-        save_safetensors({k: np.asarray(v) for k, v in sd.items()},
-                         os.path.join(path, 'unet.safetensors'))
+        """Collapse merged LoRAs into base weights and export a full
+        diffusers-layout pipeline (reference visualizer.py:81-97)."""
+        from ..ckpt.manager import CkptManagerDiffusers
+        CkptManagerDiffusers().save_pipeline(
+            path,
+            unet_params=jax.device_get(self.unet_params),
+            unet_cfg=self.world['unet_cfg'],
+            vae_params=jax.device_get(self.world['vae_params']),
+            vae_cfg=self.world['vae_cfg'],
+            te_params=jax.device_get(self.te_params),
+            te_cfg=self.world['te_cfg'])
 
 
 def main():
