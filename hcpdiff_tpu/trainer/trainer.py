@@ -74,7 +74,24 @@ class Trainer:
         self.grad_accum = int(tcfg.get('gradient_accumulation_steps', 1))
 
         self.make_train_step()
+        self.restore_full_state()
         self.build_previewer()
+
+    def restore_full_state(self):
+        """Auto-resume from the newest orbax checkpoint (full train state:
+        params + optimizer + step) — a strict improvement over the
+        reference's weights-only resume (SURVEY.md §5.4)."""
+        rcfg = (self.cfgs.get('train') or Cfg()).get('resume')
+        if not (isinstance(rcfg, dict) and rcfg.get('auto', False)):
+            return
+        latest = self.orbax.latest_step()
+        if latest is None:
+            return
+        template = jax.device_get(self.state)
+        restored = self.orbax.restore(latest, template=template)
+        self.state = replicate(restored, self.mesh)
+        self.start_step = int(latest)
+        self.loggers.info(f'auto-resumed full train state @ step {latest}')
 
     def build_previewer(self):
         self.previewer = None
@@ -331,17 +348,19 @@ class Trainer:
         self.dream_artist = 'lora_unet_neg' in pack or 'lora_te_neg' in pack
 
     def build_optimizer_scheduler(self):
+        """One optax.multi_transform: each trainable group (lora_unet,
+        lora_te, unet_ft, controlnet, ...) gets its own lr under a shared
+        schedule shape — reference per-group param_groups semantics
+        (train_ac.py:324-379)."""
+        import optax
         tcfg = self.cfgs.get('train', Cfg())
         scfg = dict(tcfg.get('scheduler') or {})
         steps = int(tcfg.get('train_steps', scfg.get('num_training_steps', 1000)))
-        base_lr = max(self.group_lrs.values(), default=1e-4)
+        lr_scale = 1.0
         if bool(tcfg.get('scale_lr', False)):
             total_bs = sum(getattr(d, 'bs', 1) for d in self.datasets) or 1
-            base_lr = base_lr * total_bs * self.world_size
+            lr_scale = total_bs  # bs already includes world_size
 
-        sched = make_schedule(scfg.get('name', 'constant'), base_lr,
-                              int(scfg.get('num_warmup_steps', 0)),
-                              int(scfg.get('num_training_steps', steps)))
         ocfg = dict(tcfg.get('optimizer') or {})
         opt_name = 'adamw'
         tgt = str(ocfg.pop('_target_', '')).lower()
@@ -349,11 +368,30 @@ class Trainer:
             if n in tgt:
                 opt_name = {'8bit': 'adamw_8bit'}.get(n, n)
         ocfg.pop('_partial_', None)
+        okw = {k: v for k, v in ocfg.items()
+               if k in ('betas', 'eps', 'weight_decay')}
         clip = float(tcfg.get('max_grad_norm', 1.0) or 0)
-        self.tx = make_optimizer(opt_name, schedule=sched,
-                                 clip_norm=clip or None,
-                                 **{k: v for k, v in ocfg.items()
-                                    if k in ('betas', 'eps', 'weight_decay')})
+
+        def sched_for(lr):
+            return make_schedule(scfg.get('name', 'constant'), lr * lr_scale,
+                                 int(scfg.get('num_warmup_steps', 0)),
+                                 int(scfg.get('num_training_steps', steps)))
+
+        from .step import is_pt_key
+        model_keys = [k for k in self.group_lrs if not is_pt_key(k)]
+        if model_keys:
+            txs = {k: make_optimizer(opt_name, schedule=sched_for(self.group_lrs[k]),
+                                     **okw) for k in model_keys}
+
+            def labels(params):
+                import jax.tree_util as jtu
+                return {k: jtu.tree_map(lambda _: k, v) for k, v in params.items()}
+
+            tx = optax.multi_transform(txs, labels)
+        else:
+            tx = make_optimizer(opt_name, schedule=sched_for(1e-5), **okw)
+        self.tx = (optax.chain(optax.clip_by_global_norm(clip), tx)
+                   if clip else tx)
 
         pt_lr = max(self.pt_lrs.values(), default=3e-3)
         s2 = dict(tcfg.get('scheduler_pt') or scfg)
