@@ -123,12 +123,19 @@ class DiffusionPipeline:
                                            return_x0_every=int(return_x0))
         return self._loops[key]
 
+    use_encoder_attention_mask: bool = False
+
     # ---- prompt handling ----
     def encode_prompts(self, prompts: Sequence[str], negative_prompts: Sequence[str],
                        emb_ext=None):
         """One TE pass for neg+pos (reference visualizer.py:201-208)."""
         texts = list(negative_prompts) + list(prompts)
         hidden, pooled = self.te.encode(texts, emb_ext=emb_ext)
+        if self.use_encoder_attention_mask and hasattr(self.te, 'attention_mask'):
+            ids, _ = self.te.tokenize_batch(texts)
+            self._last_ctx_mask = jnp.asarray(self.te.attention_mask(ids))
+        else:
+            self._last_ctx_mask = None
         return hidden, pooled
 
     # ---- generation ----
@@ -143,13 +150,17 @@ class DiffusionPipeline:
                 if isinstance(negative_prompt, str) else list(negative_prompt))
         B = len(prompts)
         ctx, pooled = self.encode_prompts(prompts, negs, emb_ext)
-        if self.text_time and extra_cond is None:
+        if getattr(self, '_last_ctx_mask', None) is not None:
+            extra_cond = dict(extra_cond or {},
+                              encoder_attention_mask=self._last_ctx_mask)
+        if self.text_time and (extra_cond is None
+                               or 'pooled_text_emb' not in extra_cond):
             # SDXL conditioning: pooled text emb + [orig_h, orig_w, crop_y,
             # crop_x, tgt_h, tgt_w] time_ids, CFG-doubled like ctx
             tid = jnp.asarray([height, width, 0, 0, height, width],
                               jnp.float32)
-            extra_cond = {'pooled_text_emb': pooled,
-                          'time_ids': jnp.tile(tid[None], (2 * B, 1))}
+            extra_cond = dict(extra_cond or {}, pooled_text_emb=pooled,
+                              time_ids=jnp.tile(tid[None], (2 * B, 1)))
         h, w = height // self.vae_scale, width // self.vae_scale
         rng = jax.random.PRNGKey(seed)
         rng, r_init, r_loop = jax.random.split(rng, 3)

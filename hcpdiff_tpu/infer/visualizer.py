@@ -166,6 +166,8 @@ class Visualizer:
             self.frontend, schedule=self.schedule,
             text_time=(world['unet_cfg'].addition_embed_type == 'text_time'))
         self.pipe.unet_params_neg = self.unet_params_neg
+        self.pipe.use_encoder_attention_mask = bool(
+            cfgs.get('encoder_attention_mask', False))
 
         # output interfaces
         self.interfaces: List[BaseInterface] = []

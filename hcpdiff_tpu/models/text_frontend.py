@@ -131,6 +131,24 @@ class TextEncoderFrontend:
         return (np.stack([e.input_ids for e in enc]),
                 np.stack([e.token_mult for e in enc]))
 
+    def attention_mask(self, input_ids: np.ndarray) -> np.ndarray:
+        """[B, R*L] ids -> [B, R*(L-2)+2] mask over the MERGED sequence:
+        1 up to (and including) each window's first EOS, 0 for padding
+        (reference pad_attn_bias, hcpdiff/utils/utils.py:154-162)."""
+        tk = self.tokenizer
+        L, R = tk.model_max_length, self.n_repeats
+        B = input_ids.shape[0]
+        ids = input_ids.reshape(B, R, L)
+        eos_pos = np.argmax(ids == tk.eos_token_id, axis=-1)  # [B, R]
+        pos = np.arange(L)[None, None, :]
+        win_mask = (pos <= eos_pos[..., None]).astype(np.float32)
+        if R == 1:
+            return win_mask[:, 0]
+        bos = win_mask[:, 0, :1]
+        eos = win_mask[:, -1, L - 1:]
+        content = win_mask[:, :, 1:L - 1].reshape(B, R * (L - 2))
+        return np.concatenate([bos, content, eos], axis=1)
+
     # ---- encoding (jittable) ----
     def encode_ids(self, params: Any, input_ids: jnp.ndarray,
                    token_mult: Optional[jnp.ndarray] = None,

@@ -58,3 +58,17 @@ def test_windows_packing():
     win = tk.encode_windows('cat ' * 30, n_repeats=2)
     assert len(win) == 18
     assert win[0] == tk.bos_token_id and win[9] == tk.bos_token_id
+
+
+def test_frontend_attention_mask():
+    import numpy as np
+    from hcpdiff_tpu.models.text_frontend import TextEncoderFrontend
+    from helpers import tiny_world
+    w = tiny_world()
+    fe = w['frontend']
+    ids, _ = fe.tokenize_batch(['cat', 'cat dog photo cat dog'])
+    m = fe.attention_mask(ids)
+    assert m.shape == (2, 77)
+    assert m[0, 0] == 1  # BOS
+    assert m[0].sum() < m[1].sum()  # longer prompt -> more unmasked tokens
+    assert m[0, -1] == 0  # padding masked
