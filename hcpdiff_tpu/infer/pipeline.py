@@ -149,7 +149,12 @@ class DiffusionPipeline:
         negs = ([negative_prompt] * len(prompts)
                 if isinstance(negative_prompt, str) else list(negative_prompt))
         B = len(prompts)
-        ctx, pooled = self.encode_prompts(prompts, negs, emb_ext)
+        use_cfg = float(guidance_scale) > 1.0 or self.unet_params_neg is not None
+        if use_cfg:
+            ctx, pooled = self.encode_prompts(prompts, negs, emb_ext)
+        else:
+            # guidance 1.0: skip the negative branch entirely (half the work)
+            ctx, pooled = self.encode_prompts(prompts, [], emb_ext)
         if getattr(self, '_last_ctx_mask', None) is not None:
             extra_cond = dict(extra_cond or {},
                               encoder_attention_mask=self._last_ctx_mask)
@@ -159,8 +164,9 @@ class DiffusionPipeline:
             # crop_x, tgt_h, tgt_w] time_ids, CFG-doubled like ctx
             tid = jnp.asarray([height, width, 0, 0, height, width],
                               jnp.float32)
+            n_cond = 2 * B if use_cfg else B
             extra_cond = dict(extra_cond or {}, pooled_text_emb=pooled,
-                              time_ids=jnp.tile(tid[None], (2 * B, 1)))
+                              time_ids=jnp.tile(tid[None], (n_cond, 1)))
         h, w = height // self.vae_scale, width // self.vae_scale
         rng = jax.random.PRNGKey(seed)
         rng, r_init, r_loop = jax.random.split(rng, 3)
@@ -169,7 +175,8 @@ class DiffusionPipeline:
                           **(sampler_kwargs or {}))
         latents, x0s = loop(self.unet_params, latents, ctx, r_loop,
                             guidance_scale, extra_cond=extra_cond,
-                            unet_params_neg=self.unet_params_neg)
+                            unet_params_neg=self.unet_params_neg,
+                            cfg_batch=use_cfg)
         if return_x0_history:
             return (latents if return_latents else self.decode(latents)), x0s
         if return_latents:

@@ -57,7 +57,10 @@ class Trainer:
         self.loggers = build_loggers(cfgs.get('logger'), self.exp_dir)
         self.seed = int(cfgs.get('seed', 42)) + jax.process_index()
 
-        self.mesh = make_mesh()
+        if cfgs.get('multi_host'):
+            # multi-host pod slice: env-driven coordinator discovery
+            jax.distributed.initialize()
+        self.mesh = make_mesh(fsdp=int(cfgs.get('fsdp', 1)))
         self.world_size = self.mesh.devices.size
 
         self.build_model()
