@@ -182,3 +182,20 @@ def test_dp_sharded_step_matches_single(world):
     for a, b in zip(jax.tree_util.tree_leaves(s_single.pack),
                     jax.tree_util.tree_leaves(s_shard.pack)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_att_mask_zero_gives_zero_loss(world):
+    overlay, _ = make_lora_overlay(
+        jax.random.PRNGKey(0), world['unet_params'],
+        [{'layers': ['re:.*attn1\\.to_q$'], 'rank': 2}])
+    step, state, frozen = build(world, {'lora_unet': overlay})
+    batch = make_batch(world)
+    batch['att_mask'] = jnp.zeros((2, 8, 8))
+    _, m = step(state, frozen, batch, jax.random.PRNGKey(0))
+    assert float(m['loss']) == 0.0
+
+    batch['att_mask'] = jnp.ones((2, 8, 8)) * 2.0
+    _, m2 = step(state, frozen, batch, jax.random.PRNGKey(0))
+    batch.pop('att_mask')
+    _, m3 = step(state, frozen, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m2['loss']), 2 * float(m3['loss']), rtol=1e-5)
