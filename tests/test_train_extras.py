@@ -126,3 +126,49 @@ def test_zero1_sharded_update_matches(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ref.pack),
                     jax.tree_util.tree_leaves(out.pack)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fsdp_sharded_params_match(tmp_path):
+    """FSDP axis: frozen params sharded over 'fsdp' -> same step results
+    (XLA inserts the all-gathers; covers ZeRO-3/Gemini-style placement)."""
+    import optax
+    from hcpdiff_tpu.adapt.overlay import make_lora_overlay
+    from hcpdiff_tpu.parallel.mesh import (fsdp_shardings, make_mesh,
+                                           replicate, shard_batch)
+    from hcpdiff_tpu.trainer.step import (StepConfig, build_train_step,
+                                          init_train_state)
+    from hcpdiff_tpu.diffusion.losses import MSELoss
+    from hcpdiff_tpu.diffusion.schedules import NoiseSchedule
+    from helpers import tiny_world
+
+    w = tiny_world()
+    overlay, _ = make_lora_overlay(jax.random.PRNGKey(0), w['unet_params'],
+                                   [{'layers': ['re:.*attn1\\.to_q$'], 'rank': 2}])
+    pack = {'lora_unet': overlay}
+    tx = optax.adam(1e-2)
+
+    def unet_apply(p, x, t, ctx, **e):
+        return w['unet'].apply({'params': p}, x, t, ctx, **e)
+
+    def te_encode(p, ids, tm, ext):
+        return w['frontend'].encode_ids(p, ids, tm, ext)
+
+    step = jax.jit(build_train_step(unet_apply, te_encode, NoiseSchedule.make(),
+                                    MSELoss(), tx, None, StepConfig()))
+    frozen = {'unet': w['unet_params'], 'te': w['te_params']}
+    ids, mult = w['frontend'].tokenize_batch(['cat'] * 4)
+    batch = {'latents': jnp.zeros((4, 8, 8, 4)),
+             'input_ids': jnp.asarray(ids), 'token_mult': jnp.asarray(mult)}
+    rng = jax.random.PRNGKey(3)
+
+    ref, m_ref = step(init_train_state(pack, tx), frozen, batch, rng)
+
+    mesh = make_mesh(data=4, fsdp=2)
+    fz = jax.device_put(jax.device_get(frozen), fsdp_shardings(frozen, mesh))
+    st = replicate(init_train_state(pack, tx), mesh)
+    out, m_out = step(st, fz, shard_batch(batch, mesh), rng)
+    np.testing.assert_allclose(float(m_ref['loss']), float(m_out['loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref.pack),
+                    jax.tree_util.tree_leaves(out.pack)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
