@@ -186,7 +186,8 @@ class DiffusionPipeline:
     def img2img(self, init_latents, prompt, negative_prompt='', strength=0.75,
                 num_steps=20, guidance_scale=7.5, sampler='dpm++_2m',
                 seed: int = 0, emb_ext=None, extra_cond=None,
-                return_latents: bool = False):
+                return_latents: bool = False,
+                sampler_kwargs: Optional[dict] = None):
         """init_latents: [B,h,w,4] scaled latents (use ``encode`` to make)."""
         B = init_latents.shape[0]
         prompts = [prompt] * B if isinstance(prompt, str) else list(prompt)
@@ -204,7 +205,8 @@ class DiffusionPipeline:
 
         # partial loop: rebuild a sampler over the remaining steps
         remaining = num_steps - t_start
-        sampler_obj = make_sampler(sampler, self.schedule, num_steps)
+        sampler_obj = make_sampler(sampler, self.schedule, num_steps,
+                                   **(sampler_kwargs or {}))
         sampler_obj.timesteps = sampler_obj.timesteps[t_start:]
         sampler_obj.num_steps = remaining
         if hasattr(sampler_obj, 'sigmas'):

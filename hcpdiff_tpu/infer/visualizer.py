@@ -210,6 +210,8 @@ class Visualizer:
                       guidance_scale=float(ia.get('guidance_scale', 7.5)),
                       sampler=str(ia.get('sampler', 'dpm++_2m')),
                       seed=int(seed), emb_ext=self.emb_ext)
+        if ia.get('karras') or ia.get('use_karras_sigmas'):
+            common['sampler_kwargs'] = {'use_karras_sigmas': True}
         if mode in ('i2i', 'img2img', 'inpaint') and self.cfgs.get('init_image'):
             init = self._load_image(self.cfgs['init_image'], width, height)
             init_lat = self.pipe.encode(init)

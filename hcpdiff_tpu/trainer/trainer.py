@@ -72,7 +72,14 @@ class Trainer:
         self.load_resume()
 
         tcfg = cfgs.get('train', Cfg())
-        self.train_steps = int(tcfg.get('train_steps', 1000))
+        epochs = tcfg.get('train_epochs')
+        if epochs and not tcfg.get('train_steps'):
+            # epochs -> steps using the shortest dataset (reference choice
+            # of [train_steps, train_epochs], train_base.yaml)
+            steps_per_epoch = min((len(d) for d in self.datasets), default=1000)
+            self.train_steps = int(epochs) * max(steps_per_epoch, 1)
+        else:
+            self.train_steps = int(tcfg.get('train_steps') or 1000)
         self.save_step = int(tcfg.get('save_step', 100))
         self.grad_accum = int(tcfg.get('gradient_accumulation_steps', 1))
 

@@ -14,5 +14,10 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+try:  # persistent compile cache makes suite reruns much faster
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_cpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
