@@ -66,23 +66,50 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
 
 # ---------------------------------------------------- lora <-> hcp keys ----
 
-def lora_overlay_to_state(overlay: Dict[str, dict],
-                          host_prefix: str = '') -> Dict[str, np.ndarray]:
+def lora_overlay_to_state(overlay: Dict[str, dict], host_prefix: str = '',
+                          aliases: Optional[Dict[str, str]] = None,
+                          conv_shapes: Optional[Dict[str, tuple]] = None
+                          ) -> Dict[str, np.ndarray]:
     """Our overlay {layer_path: {down, up, alpha}} -> reference-style state
-    dict with ``.___.`` placeholder keys. Tensor layout follows the
-    reference (W_down [r, in], W_up [out, r]) so checkpoints interchange:
-    ours are [in, r]/[r, out] -> transpose on the way out."""
+    dict with ``.___.`` placeholder keys.
+
+    - keys: flax paths map to the reference's diffusers module paths when
+      ``aliases`` ({flax: torch}) is given — saved checkpoints then
+      interchange with reference tooling.
+    - tensors: dense W_down [r, in], W_up [out, r] (ours are transposed);
+      conv LoRA exports 4-D OIHW-style factors (W_down [r, cin, kh, kw],
+      W_up [out, r, 1, 1]) matching the reference conv-LoRA layout.
+      ``conv_shapes``: {flax_path: (kh, kw, cin, cout)} for conv hosts
+      (from the host model's kernel shapes).
+    """
+    aliases = aliases or {}
+    conv_shapes = conv_shapes or {}
     sd: Dict[str, np.ndarray] = {}
     for path, entry in overlay.items():
-        host = (host_prefix + path) if host_prefix else path
-        sd[f'{host}{PLACEHOLDER}layer.W_down'] = np.asarray(entry['down']).T
-        sd[f'{host}{PLACEHOLDER}layer.W_up'] = np.asarray(entry['up']).T
+        host = aliases.get(path, path)
+        host = (host_prefix + host) if host_prefix else host
+        down = np.asarray(entry['down'])   # [fan_in, r]
+        up = np.asarray(entry['up'])       # [r, out]
+        kshape = conv_shapes.get(path)
+        if kshape is not None and len(kshape) == 4:
+            kh, kw, cin, _ = kshape
+            r = down.shape[-1]
+            # [kh*kw*cin, r] -> [r, cin, kh, kw]
+            down_t = down.reshape(kh, kw, cin, r).transpose(3, 2, 0, 1)
+            up_t = up.T[:, :, None, None]   # [out, r, 1, 1]
+        else:
+            down_t, up_t = down.T, up.T
+        sd[f'{host}{PLACEHOLDER}layer.W_down'] = np.ascontiguousarray(down_t)
+        sd[f'{host}{PLACEHOLDER}layer.W_up'] = np.ascontiguousarray(up_t)
         sd[f'{host}{PLACEHOLDER}alpha'] = np.asarray(entry['alpha'], np.float32)
     return sd
 
 
-def lora_state_to_overlay(sd: Dict[str, np.ndarray],
-                          host_prefix: str = '') -> Dict[str, dict]:
+def lora_state_to_overlay(sd: Dict[str, np.ndarray], host_prefix: str = '',
+                          aliases: Optional[Dict[str, str]] = None
+                          ) -> Dict[str, dict]:
+    """Inverse; ``aliases`` = {flax: torch} (reversed internally)."""
+    rev = {v: k for k, v in (aliases or {}).items()}
     overlay: Dict[str, dict] = {}
     for key, v in sd.items():
         if PLACEHOLDER not in key:
@@ -92,11 +119,21 @@ def lora_state_to_overlay(sd: Dict[str, np.ndarray],
             if not host.startswith(host_prefix):
                 continue
             host = host[len(host_prefix):]
+        host = rev.get(host, host)
         e = overlay.setdefault(host, {})
+        v = np.asarray(v)
         if param.endswith('W_down'):
-            e['down'] = np.asarray(v).T
+            if v.ndim == 4:   # conv: [r, cin, kh, kw] -> [kh*kw*cin, r]
+                r, cin, kh, kw = v.shape
+                e['down'] = np.ascontiguousarray(
+                    v.transpose(2, 3, 1, 0).reshape(kh * kw * cin, r))
+            else:
+                e['down'] = v.T
         elif param.endswith('W_up'):
-            e['up'] = np.asarray(v).T
+            if v.ndim == 4:   # [out, r, 1, 1]
+                e['up'] = np.ascontiguousarray(v[:, :, 0, 0].T)
+            else:
+                e['up'] = v.T
         elif param.endswith('alpha'):
             e['alpha'] = np.asarray(v, np.float32).reshape(())
     for host, e in overlay.items():
@@ -140,17 +177,30 @@ def _kohya_module_name(layer_path: str, prefix: str) -> str:
 
 
 def overlay_to_kohya(overlay: Dict[str, dict], torch_paths: Dict[str, str],
-                     prefix: str = 'lora_unet') -> Dict[str, np.ndarray]:
+                     prefix: str = 'lora_unet',
+                     conv_shapes: Optional[Dict[str, tuple]] = None
+                     ) -> Dict[str, np.ndarray]:
     """overlay + {flax_path: torch_module_path} -> kohya-format state dict
-    (lora_down.weight [r,in], lora_up.weight [out,r], alpha)."""
+    (lora_down.weight [r,in] (or [r,cin,kh,kw] for conv), lora_up.weight
+    [out,r] (or [out,r,1,1]), alpha)."""
+    conv_shapes = conv_shapes or {}
     sd: Dict[str, np.ndarray] = {}
     for path, entry in overlay.items():
         tp = torch_paths.get(path, path)
         base = f'{prefix}_{tp.replace(".", "_")}'
-        down = np.asarray(entry['down']).T   # [r, in]
-        up = np.asarray(entry['up']).T       # [out, r]
-        sd[f'{base}.lora_down.weight'] = down
-        sd[f'{base}.lora_up.weight'] = up
+        down = np.asarray(entry['down'])
+        up = np.asarray(entry['up'])
+        ks = conv_shapes.get(path)
+        if ks is not None and len(ks) == 4:
+            kh, kw, cin, _ = ks
+            r = down.shape[-1]
+            sd[f'{base}.lora_down.weight'] = np.ascontiguousarray(
+                down.reshape(kh, kw, cin, r).transpose(3, 2, 0, 1))
+            sd[f'{base}.lora_up.weight'] = np.ascontiguousarray(
+                up.T[:, :, None, None])
+        else:
+            sd[f'{base}.lora_down.weight'] = down.T
+            sd[f'{base}.lora_up.weight'] = up.T
         sd[f'{base}.alpha'] = np.asarray(entry['alpha'], np.float32)
     return sd
 
@@ -175,8 +225,16 @@ def kohya_to_overlay(sd: Dict[str, np.ndarray], flax_paths: Dict[str, str],
         fp = und2torch.get(mod)
         if fp is None:
             continue
-        entry = {'down': e['down'].T, 'up': e['up'].T,
-                 'alpha': np.asarray(e.get('alpha', e['down'].shape[0]),
+        down, up = e['down'], e['up']
+        if down.ndim == 4:   # conv lora
+            r, cin, kh, kw = down.shape
+            down = np.ascontiguousarray(
+                down.transpose(2, 3, 1, 0).reshape(kh * kw * cin, r))
+            up = np.ascontiguousarray(up[:, :, 0, 0].T)
+        else:
+            down, up = down.T, up.T
+        entry = {'down': down, 'up': up,
+                 'alpha': np.asarray(e.get('alpha', down.shape[-1]),
                                      np.float32).reshape(())}
         out[fp] = entry
     return out

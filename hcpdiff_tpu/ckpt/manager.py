@@ -52,7 +52,12 @@ class CkptManagerBase:
                              lora_ema: Optional[dict] = None,
                              plugin: Optional[dict] = None,
                              plugin_ema: Optional[dict] = None,
-                             host_prefix: str = '') -> None:
+                             host_prefix: str = '',
+                             aliases: Optional[Dict[str, str]] = None,
+                             conv_shapes: Optional[Dict[str, tuple]] = None
+                             ) -> None:
+        """``aliases`` ({flax: torch module path}) makes saved keys match
+        the reference's diffusers naming for interop."""
         ckpt: Dict[str, Any] = {}
         if base:
             ckpt['base'] = _to_numpy_tree(base)
@@ -60,17 +65,20 @@ class CkptManagerBase:
             ckpt['base_ema'] = _to_numpy_tree(base_ema)
         if lora_overlay:
             ckpt['lora'] = lora_overlay_to_state(_to_numpy_tree(lora_overlay),
-                                                 host_prefix)
+                                                 host_prefix, aliases,
+                                                 conv_shapes)
         if lora_ema:
             ckpt['lora_ema'] = lora_overlay_to_state(_to_numpy_tree(lora_ema),
-                                                     host_prefix)
+                                                     host_prefix, aliases,
+                                                     conv_shapes)
         if plugin:
             ckpt['plugin'] = _to_numpy_tree(plugin)
         if plugin_ema:
             ckpt['plugin_ema'] = _to_numpy_tree(plugin_ema)
         self._write(unfold_dict(ckpt), path)
 
-    def load_ckpt(self, path: str) -> Dict[str, Any]:
+    def load_ckpt(self, path: str,
+                  aliases: Optional[Dict[str, str]] = None) -> Dict[str, Any]:
         nested = fold_dict(self._read(path))
         out: Dict[str, Any] = dict(nested)
         for k in ('lora', 'lora_ema'):
@@ -78,7 +86,7 @@ class CkptManagerBase:
                 # refold the .___.-keyed flat lora state
                 flat = unfold_dict(nested[k], sep=':')
                 flat = {kk.replace(':', '.'): v for kk, v in flat.items()}
-                out[k] = lora_state_to_overlay(flat)
+                out[k] = lora_state_to_overlay(flat, aliases=aliases)
         return out
 
     def save_plugins(self, path: str, plugins: Dict[str, dict]) -> None:

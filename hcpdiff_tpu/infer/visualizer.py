@@ -63,7 +63,7 @@ class ModelMerger:
 
     def load_lora(self, ckpt_path: str, alpha: float = 1.0,
                   layers: str = 'all'):
-        ck = auto_manager(ckpt_path).load_ckpt(ckpt_path)
+        ck = auto_manager(ckpt_path).load_ckpt(ckpt_path, aliases=self.aliases)
         overlay = ck.get('lora')
         if overlay:
             overlay = jax.tree_util.tree_map(jnp.asarray, overlay)

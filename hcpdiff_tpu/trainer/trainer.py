@@ -426,7 +426,7 @@ class Trainer:
         self.start_step = int(rcfg.get('start_step', 0))
         # weight-only resume lists (reference semantics train_ac.py:280-288)
         for path in (rcfg.get('ckpt_path') or {}).get('unet', []) or []:
-            ck = self.ckpt_manager.load_ckpt(path)
+            ck = self.ckpt_manager.load_ckpt(path, aliases=self.aliases['unet'])
             if 'lora' in ck and 'lora_unet' in self.pack:
                 self.pack['lora_unet'] = jax.tree_util.tree_map(
                     jnp.asarray, ck['lora'])
@@ -542,18 +542,34 @@ class Trainer:
         pack = jax.device_get(self.state.pack)
         ema = jax.device_get(self.state.ema) if self.state.ema is not None else {}
         ema = ema or {}
+        def conv_shapes_for(overlay, params):
+            from ..adapt.overlay import _get_path
+            out = {}
+            for p in (overlay or {}):
+                try:
+                    ks = _get_path(params, p)['kernel'].shape
+                    if len(ks) == 4:
+                        out[p] = tuple(ks)
+                except (KeyError, TypeError):
+                    pass
+            return out
+
         if 'lora_unet' in pack or 'unet_ft' in pack:
             self.ckpt_manager.save_model_with_lora(
                 os.path.join(self.exp_dir, 'ckpts',
                              f'unet-{step}{self.ckpt_manager.ext}'),
                 base=pack.get('unet_ft'), lora_overlay=pack.get('lora_unet'),
-                base_ema=ema.get('unet_ft'), lora_ema=ema.get('lora_unet'))
+                base_ema=ema.get('unet_ft'), lora_ema=ema.get('lora_unet'),
+                aliases=self.aliases['unet'],
+                conv_shapes=conv_shapes_for(pack.get('lora_unet'),
+                                            self.unet_params))
         if 'lora_te' in pack or 'te_ft' in pack:
             self.ckpt_manager.save_model_with_lora(
                 os.path.join(self.exp_dir, 'ckpts',
                              f'text_encoder-{step}{self.ckpt_manager.ext}'),
                 base=pack.get('te_ft'), lora_overlay=pack.get('lora_te'),
-                base_ema=ema.get('te_ft'), lora_ema=ema.get('lora_te'))
+                base_ema=ema.get('te_ft'), lora_ema=ema.get('lora_te'),
+                aliases=self.aliases['te'])
         if 'controlnet' in pack:
             self.ckpt_manager.save_plugins(
                 os.path.join(self.exp_dir, 'ckpts',

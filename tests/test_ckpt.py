@@ -128,3 +128,43 @@ def test_orbax_train_state_resume(tmp_path):
     assert mgr.latest_step() == 5
     restored = mgr.restore(template=jax.tree_util.tree_map(np.zeros_like, state))
     np.testing.assert_allclose(np.asarray(restored['w']), 3.0)
+
+
+def test_conv_lora_state_roundtrip():
+    from hcpdiff_tpu.ckpt.formats import (lora_overlay_to_state,
+                                          lora_state_to_overlay)
+    kh, kw, cin, cout, r = 3, 3, 8, 16, 4
+    overlay = {'down_0_res_0.conv1': {
+        'down': np.random.randn(kh * kw * cin, r).astype(np.float32),
+        'up': np.random.randn(r, cout).astype(np.float32),
+        'alpha': np.float32(1.0)}}
+    aliases = {'down_0_res_0.conv1': 'down_blocks.0.resnets.0.conv1'}
+    conv_shapes = {'down_0_res_0.conv1': (kh, kw, cin, cout)}
+    sd = lora_overlay_to_state(overlay, aliases=aliases, conv_shapes=conv_shapes)
+    key = 'down_blocks.0.resnets.0.conv1.___.layer.W_down'
+    assert key in sd and sd[key].shape == (r, cin, kh, kw)  # reference layout
+    assert sd['down_blocks.0.resnets.0.conv1.___.layer.W_up'].shape == (cout, r, 1, 1)
+    back = lora_state_to_overlay(sd, aliases=aliases)
+    assert set(back) == {'down_0_res_0.conv1'}
+    np.testing.assert_allclose(back['down_0_res_0.conv1']['down'],
+                               overlay['down_0_res_0.conv1']['down'], atol=1e-6)
+    np.testing.assert_allclose(back['down_0_res_0.conv1']['up'],
+                               overlay['down_0_res_0.conv1']['up'], atol=1e-6)
+
+
+def test_conv_lora_kohya_roundtrip():
+    from hcpdiff_tpu.ckpt.formats import kohya_to_overlay, overlay_to_kohya
+    kh, kw, cin, cout, r = 3, 3, 4, 8, 2
+    overlay = {'p.conv1': {
+        'down': np.random.randn(kh * kw * cin, r).astype(np.float32),
+        'up': np.random.randn(r, cout).astype(np.float32),
+        'alpha': np.float32(2.0)}}
+    tp = {'p.conv1': 'down_blocks.0.resnets.0.conv1'}
+    sd = overlay_to_kohya(overlay, tp, conv_shapes={'p.conv1': (kh, kw, cin, cout)})
+    key = 'lora_unet_down_blocks_0_resnets_0_conv1'
+    assert sd[f'{key}.lora_down.weight'].shape == (r, cin, kh, kw)
+    back = kohya_to_overlay(sd, {v: k for k, v in tp.items()})
+    np.testing.assert_allclose(back['p.conv1']['down'], overlay['p.conv1']['down'],
+                               atol=1e-6)
+    np.testing.assert_allclose(back['p.conv1']['up'], overlay['p.conv1']['up'],
+                               atol=1e-6)
