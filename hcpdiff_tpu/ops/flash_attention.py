@@ -131,23 +131,31 @@ def _xla_reference(q, k, v, causal, scale):
                       v.astype(jnp.float32)).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.lru_cache(maxsize=32)
+def _make_flash(causal: bool, scale: Optional[float]):
+    """custom_vjp closure over the static (causal, scale) config —
+    nondiff_argnums breaks under jax.remat (flax grad checkpointing), so
+    statics are baked into a cached function instead."""
+
+    @jax.custom_vjp
+    def fn(q, k, v):
+        s = (q.shape[-1] ** -0.5) if scale is None else scale
+        return _flash_forward(q, k, v, causal, s)
+
+    def fwd(q, k, v):
+        return fn(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        s = (q.shape[-1] ** -0.5) if scale is None else scale
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, causal, s), q, k, v)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def flash_attention(q, k, v, causal: bool = False,
                     scale: Optional[float] = None):
-    scale_v = (q.shape[-1] ** -0.5) if scale is None else scale
-    return _flash_forward(q, k, v, causal, scale_v)
-
-
-def _fwd(q, k, v, causal, scale):
-    return flash_attention(q, k, v, causal, scale), (q, k, v)
-
-
-def _bwd(causal, scale, res, g):
-    q, k, v = res
-    scale_v = (q.shape[-1] ** -0.5) if scale is None else scale
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, causal,
-                                                       scale_v), q, k, v)
-    return vjp(g)
-
-
-flash_attention.defvjp(_fwd, _bwd)
+    return _make_flash(bool(causal), scale)(q, k, v)
