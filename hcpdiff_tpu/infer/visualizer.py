@@ -138,7 +138,15 @@ class Visualizer:
                     self.tokenizer.add_word(name, n_vectors=vecs.shape[0])
                     rows.append(vecs)
         if rows:
-            self.emb_ext = jnp.asarray(np.concatenate(rows, axis=0))
+            flat = np.concatenate(rows, axis=0)
+            if world.get('sdxl'):
+                # SDXL embeddings are the concat of both encoders' vectors
+                from ..models.compose.sdxl_te import split_sdxl_embedding
+                dim_l = world['te_cfg'].hidden_size
+                parts = split_sdxl_embedding(flat, dim_l=dim_l)
+                self.emb_ext = {k: jnp.asarray(v) for k, v in parts.items()}
+            else:
+                self.emb_ext = jnp.asarray(flat)
 
         self.sdxl = bool(world.get('sdxl'))
         if self.sdxl:

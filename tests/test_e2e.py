@@ -157,3 +157,46 @@ def test_trainer_prompt_tuning(proj, tmp_path):
     saved = [f for f in os.listdir(os.path.join(cfg['exp_dir'], 'ckpts'))
              if f.startswith('pt-cat1')]
     assert saved
+
+
+def test_train_then_infer_roundtrip(proj, tmp_path):
+    """The full user journey: LoRA training -> ckpt -> merge recipe ->
+    generation (reference workflow: train_ac then visualizer with merge)."""
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    from hcpdiff_tpu.infer.visualizer import Visualizer
+    from hcpdiff_tpu.config import containerize
+
+    exp = str(tmp_path / 'exp_rt')
+    cfg = _train_cfg(proj, lora_unet=[
+        {'lr': 5e-2, 'rank': 2, 'layers': ['re:.*attn1\\.to_q$']}])
+    cfg['exp_dir'] = exp
+    t = Trainer(cfg)
+    t.train()
+    ck = os.path.join(exp, 'ckpts', 'unet-3.safetensors')
+    assert os.path.exists(ck)
+
+    out = tmp_path / 'rt_out'
+    vcfg = containerize({
+        'pretrained_model': 'tiny', 'dtype': 'fp32',
+        'prompt': 'a photo of cat', 'neg_prompt': '', 'seed': 3, 'bs': 1,
+        'output_dir': str(out),
+        'infer_args': {'width': 32, 'height': 32, 'inference_steps': 2,
+                       'sampler': 'euler'},
+        'merge': {'group1': {'type': 'unet',
+                             'lora': [{'path': ck, 'alpha': 1.0}]}},
+        'interface': [{'_target_': 'disk', 'save_root': str(out)}],
+    })
+    v = Visualizer(vcfg)
+    # trained lora keys resolved through the alias map back onto flax paths
+    assert len(v.pipe.unet_params) > 0
+    imgs = v.vis_to_dir(num=1)
+    assert np.isfinite(imgs).all()
+
+    # merged output differs from base (lora had effect)
+    vcfg2 = containerize({k: v2 for k, v2 in vcfg.items() if k != 'merge'})
+    vcfg2['merge'] = None
+    vcfg2['output_dir'] = str(tmp_path / 'rt_out2')
+    vcfg2['interface'] = []
+    v2 = Visualizer(vcfg2)
+    imgs2 = v2.vis_to_dir(num=1)
+    assert not np.allclose(imgs, imgs2, atol=1e-5)
