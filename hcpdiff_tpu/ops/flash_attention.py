@@ -21,8 +21,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+import os
+
+DEFAULT_BLOCK_Q = int(os.environ.get('HCP_FLASH_BQ', '256'))
+DEFAULT_BLOCK_K = int(os.environ.get('HCP_FLASH_BK', '256'))
 NEG_INF = -1e30
 
 

@@ -58,28 +58,22 @@ def _fits(S: int, C: int, itemsize: int) -> bool:
     return S * C * (2 * itemsize + 12) < VMEM_BUDGET_BYTES
 
 
-def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-                    groups: int = 32, eps: float = 1e-5,
-                    apply_silu: bool = True,
-                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """x: [B, H, W, C] (or [B, S, C]); scale/bias: [C]."""
-    import math
-    orig_shape = x.shape
+def _gn_silu_xla(x, scale, bias, groups, eps, apply_silu):
     B, C = x.shape[0], x.shape[-1]
-    S = math.prod(x.shape[1:-1]) if x.ndim > 2 else x.shape[1]
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() == 'tpu' and C % 128 == 0
-                      and _fits(S, C, x.dtype.itemsize))
-    if not use_pallas:
-        xf = x.astype(jnp.float32).reshape(B, -1, groups, C // groups)
-        mean = xf.mean(axis=(1, 3), keepdims=True)
-        var = xf.var(axis=(1, 3), keepdims=True)
-        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(B, -1, C)
-        y = xn * scale + bias
-        if apply_silu:
-            y = jax.nn.silu(y)
-        return y.reshape(orig_shape).astype(x.dtype)
+    orig_shape = x.shape
+    xf = x.astype(jnp.float32).reshape(B, -1, groups, C // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(B, -1, C)
+    y = xn * scale + bias
+    if apply_silu:
+        y = jax.nn.silu(y)
+    return y.reshape(orig_shape).astype(x.dtype)
 
+
+def _gn_silu_pallas_raw(x, scale, bias, groups, eps, apply_silu, S, C):
+    B = x.shape[0]
+    orig_shape = x.shape
     xf = x.reshape(B, S, C)
     kernel = functools.partial(_gn_silu_kernel, groups=groups, eps=eps,
                                apply_silu=apply_silu)
@@ -96,3 +90,43 @@ def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
     )(xf, scale.reshape(1, C), bias.reshape(1, C))
     return out.reshape(orig_shape)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_gn_pallas(groups, eps, apply_silu, S, C):
+    """pallas forward + XLA-recompute backward (pallas_call itself has no
+    autodiff; training hits this under remat)."""
+
+    @jax.custom_vjp
+    def fn(x, scale, bias):
+        return _gn_silu_pallas_raw(x, scale, bias, groups, eps, apply_silu, S, C)
+
+    def fwd(x, scale, bias):
+        return fn(x, scale, bias), (x, scale, bias)
+
+    def bwd(res, g):
+        x, scale, bias = res
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: _gn_silu_xla(x_, s_, b_, groups, eps, apply_silu),
+            x, scale, bias)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                    groups: int = 32, eps: float = 1e-5,
+                    apply_silu: bool = True,
+                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """x: [B, H, W, C] (or [B, S, C]); scale/bias: [C]."""
+    import math
+    C = x.shape[-1]
+    S = math.prod(x.shape[1:-1]) if x.ndim > 2 else x.shape[1]
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == 'tpu' and C % 128 == 0
+                      and _fits(S, C, x.dtype.itemsize))
+    if not use_pallas:
+        return _gn_silu_xla(x, scale, bias, groups, eps, apply_silu)
+    return _make_gn_pallas(groups, float(eps), bool(apply_silu), S, C)(
+        x, scale, bias)

@@ -451,7 +451,7 @@ class Trainer:
         lo, hi, ramp = get_cfg_range(cfg_scale)
 
         step_cfg = StepConfig(
-            grad_accum=1,  # DataGroup yields per-step batches; accum folds below
+            grad_accum=self.grad_accum,
             ema_decay=(float(ema_cfg.get('decay_max', 0.9999)) if ema_cfg else None),
             dream_artist=self.dream_artist,
             da_cfg_low=lo, da_cfg_high=hi, da_cfg_ramp=ramp,
@@ -501,18 +501,66 @@ class Trainer:
         step = self.start_step
         loss_ema = None
         encode = None
-        for batch_list in self.data_group:
+
+        def prep(batch):
+            nonlocal encode
+            batch = {k: v for k, v in batch.items() if k != 'prompts'}
+            if 'images' in batch and 'latents' not in batch:
+                # uncached path: VAE-encode on device (reference
+                # get_latents, train_ac.py:428-435)
+                if encode is None:
+                    encode = jax.jit(lambda x: self.vae.apply(
+                        {'params': self.vae_params}, x, method='encode')[0]
+                        * self.vae.cfg.scaling_factor)
+                batch['latents'] = encode(jnp.asarray(batch.pop('images')))
+            return batch
+
+        data_iter = iter(self.data_group)
+
+        def next_batches():
+            """One (possibly accumulated) batch per dataset for this step."""
+            batch_list = [prep(b) for b in next(data_iter)]
+            if self.grad_accum <= 1:
+                return batch_list
+            accum = [[b] for b in batch_list]
+            for _ in range(self.grad_accum - 1):
+                for acc, b in zip(accum, [prep(b) for b in next(data_iter)]):
+                    acc.append(b)
+            out = []
+            for micro in accum:
+                shapes = {jax.tree_util.tree_structure(m) for m in micro}
+                s0 = {tuple(np.asarray(v).shape) for v in micro[0].values()}
+                for m in micro[1:]:
+                    if {tuple(np.asarray(v).shape) for v in m.values()} != s0:
+                        raise ValueError(
+                            'gradient accumulation needs same-shape '
+                            'microbatches — use FixedBucket or num_bucket=1')
+                out.append(jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *micro))
+            return out
+
+        def shard(batch):
+            if self.grad_accum <= 1:
+                return shard_batch(batch, self.mesh)
+            # accum batches carry a leading [accum] axis; the batch axis to
+            # shard over 'data' is axis 1
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n = self.mesh.shape['data']
+            sh = NamedSharding(self.mesh, P(None, 'data'))
+            rep = NamedSharding(self.mesh, P())
+
+            def put(x):
+                x = jnp.asarray(x)
+                if x.ndim >= 2 and x.shape[1] % n == 0 and x.shape[1] > 0:
+                    return jax.device_put(x, sh)
+                return jax.device_put(x, rep)
+
+            return jax.tree_util.tree_map(put, batch)
+
+        while True:
+            batch_list = next_batches()
             for batch in batch_list:
-                batch = {k: v for k, v in batch.items() if k != 'prompts'}
-                if 'images' in batch and 'latents' not in batch:
-                    # uncached path: VAE-encode on device (reference
-                    # get_latents, train_ac.py:428-435)
-                    if encode is None:
-                        encode = jax.jit(lambda x: self.vae.apply(
-                            {'params': self.vae_params}, x, method='encode')[0]
-                            * self.vae.cfg.scaling_factor)
-                    batch['latents'] = encode(jnp.asarray(batch.pop('images')))
-                batch = shard_batch(batch, self.mesh)
+                batch = shard(batch)
                 rng, sub = jax.random.split(rng)
                 self.state, metrics = self._train_step(self.state, self.frozen,
                                                        batch, sub)

@@ -172,3 +172,29 @@ def test_fsdp_sharded_params_match(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ref.pack),
                     jax.tree_util.tree_leaves(out.pack)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_trainer_grad_accum_e2e(proj, tmp_path):
+    from hcpdiff_tpu.config import containerize
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    cfg = containerize({
+        'exp_dir': str(tmp_path / 'exp_ga'),
+        'mixed_precision': 'fp32', 'seed': 1, 'ckpt_type': 'safetensors',
+        'lora_unet': [{'lr': 1e-3, 'rank': 2, 'layers': ['re:.*attn1\\.to_q$']}],
+        'train': {'train_steps': 2, 'save_step': 2,
+                  'gradient_accumulation_steps': 2,
+                  'loss': {'criterion': {'_target_': 'mse'}},
+                  'optimizer': {'_target_': 'optim.adamw'},
+                  'scheduler': {'name': 'constant', 'num_training_steps': 2}},
+        'model': {'pretrained_model_name_or_path': 'tiny',
+                  'gradient_checkpointing': False},
+        'data': {'dataset1': {
+            'batch_size': 2, 'cache_latents': True,
+            'source': {'s1': {'img_root': str(proj / 'imgs')}},
+            'bucket': {'_target_': 'FixedBucket', 'target_size': 16}}},
+        'tokenizer_pt': {'emb_dir': None, 'train': None},
+        'logger': [{'_target_': 'CLILogger', 'log_step': 1}],
+    })
+    t = Trainer(cfg)
+    final = t.train()
+    assert final == 2
