@@ -211,6 +211,9 @@ class DiffusionPipeline:
         sampler_obj.num_steps = remaining
         if hasattr(sampler_obj, 'sigmas'):
             sampler_obj.sigmas = sampler_obj.sigmas[t_start:]
+            # init scaling must map VP->k at the NEW start sigma
+            sampler_obj._init_noise_sigma = float(
+                np.sqrt(float(sampler_obj.sigmas[0]) ** 2 + 1))
         part_loop = DenoiseLoop(self.unet_apply, sampler_obj)
         # DenoiseLoop multiplies by init_noise_sigma, which is exactly the
         # VP->k-space change of variables (1/sqrt(acp) for k-samplers, 1 for

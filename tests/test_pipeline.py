@@ -87,3 +87,16 @@ def test_clip_skip_changes_embedding(world):
     h0, _ = fe0.encode(['cat'])
     h1, _ = fe1.encode(['cat'])
     assert not np.allclose(np.asarray(h0), np.asarray(h1), atol=1e-5)
+
+
+def test_img2img_ksampler_strength(pipe):
+    """k-sampler img2img: strength≈0 must stay near the init latents
+    (catches init-noise-sigma rescaling bugs after timestep slicing)."""
+    init = jnp.ones((1, 16, 16, 4)) * 0.5
+    out = pipe.img2img(init, 'a painting', strength=0.1, num_steps=10,
+                       sampler='euler', seed=1, return_latents=True)
+    # with only 10% of the noise schedule applied, output stays close to init
+    assert float(jnp.abs(out - init).mean()) < 0.45
+    out2 = pipe.img2img(init, 'a painting', strength=0.9, num_steps=10,
+                        sampler='euler', seed=1, return_latents=True)
+    assert float(jnp.abs(out2 - init).mean()) > float(jnp.abs(out - init).mean())
