@@ -198,3 +198,32 @@ def test_trainer_grad_accum_e2e(proj, tmp_path):
     t = Trainer(cfg)
     final = t.train()
     assert final == 2
+
+
+def test_previewer_generates(proj, tmp_path):
+    from hcpdiff_tpu.config import containerize
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    cfg = containerize({
+        'exp_dir': str(tmp_path / 'exp_pv'),
+        'mixed_precision': 'fp32', 'seed': 1, 'ckpt_type': 'safetensors',
+        'lora_unet': [{'lr': 1e-3, 'rank': 2, 'layers': ['re:.*attn1\\.to_q$']}],
+        'train': {'train_steps': 1, 'save_step': 5,
+                  'loss': {'criterion': {'_target_': 'mse'}},
+                  'optimizer': {'_target_': 'optim.adamw'},
+                  'scheduler': {'name': 'constant', 'num_training_steps': 1}},
+        'model': {'pretrained_model_name_or_path': 'tiny',
+                  'gradient_checkpointing': False},
+        'previewer': {'image_log_step': 1, 'prompt': 'a photo of cat',
+                      'width': 32, 'height': 32, 'num_steps': 2,
+                      'sampler': 'euler'},
+        'data': {'dataset1': {
+            'batch_size': 2, 'cache_latents': True,
+            'source': {'s1': {'img_root': str(proj / 'imgs')}},
+            'bucket': {'_target_': 'FixedBucket', 'target_size': 16}}},
+        'tokenizer_pt': {'emb_dir': None, 'train': None},
+        'logger': [{'_target_': 'CLILogger', 'log_step': 1}],
+    })
+    t = Trainer(cfg)
+    d = t.previewer.preview_dict()
+    assert 'preview' in d and d['preview'].shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(d['preview'])).all()
