@@ -227,3 +227,42 @@ def test_previewer_generates(proj, tmp_path):
     d = t.previewer.preview_dict()
     assert 'preview' in d and d['preview'].shape == (32, 32, 3)
     assert np.isfinite(np.asarray(d['preview'])).all()
+
+
+def test_multi_bucket_shapes_train(proj, tmp_path):
+    """ARB buckets: one compiled step per bucket resolution (SURVEY.md §7
+    hard part 5) — a run over mixed-ratio data completes with multiple
+    jit shape specializations."""
+    import numpy as np
+    from PIL import Image
+    from hcpdiff_tpu.config import containerize
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    d = tmp_path / 'arb_imgs'
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i, (w, h) in enumerate([(64, 32), (64, 32), (32, 64), (32, 64)]):
+        Image.fromarray(rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+                        ).save(d / f'i{i}.png')
+    cfg = containerize({
+        'exp_dir': str(tmp_path / 'exp_arb'),
+        'mixed_precision': 'fp32', 'seed': 1, 'ckpt_type': 'safetensors',
+        'lora_unet': [{'lr': 1e-3, 'rank': 2, 'layers': ['re:.*attn1\\.to_q$']}],
+        'train': {'train_steps': 2, 'save_step': 10,
+                  'loss': {'criterion': {'_target_': 'mse'}},
+                  'optimizer': {'_target_': 'optim.adamw'},
+                  'scheduler': {'name': 'constant', 'num_training_steps': 2}},
+        'model': {'pretrained_model_name_or_path': 'tiny',
+                  'gradient_checkpointing': False},
+        'data': {'dataset1': {
+            'batch_size': 2, 'cache_latents': True,
+            'source': {'s1': {'img_root': str(d)}},
+            'bucket': {'_target_': 'RatioBucket.from_files',
+                       'target_area': 32 * 32, 'num_bucket': 2,
+                       'step_size': 16}}},
+        'tokenizer_pt': {'emb_dir': None, 'train': None},
+        'logger': [{'_target_': 'CLILogger', 'log_step': 1}],
+    })
+    t = Trainer(cfg)
+    sizes = {t.datasets[0].bucket[i][1] for i in range(len(t.datasets[0]))}
+    assert len(sizes) >= 2  # genuinely multi-resolution
+    assert t.train() == 2
