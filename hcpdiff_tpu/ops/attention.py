@@ -45,13 +45,13 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if use_flash is None:
         import os
-        # Crossover measured on v5e (scan-amortized, B8 H8 D40):
-        #   S=4096: ours 16.9ms vs XLA 18.7ms vs jax-lib flash 33.7ms
-        #   S<=1024: XLA wins (head dims 40/80 pad to 128 lanes here).
-        # So flash engages at the 4096-seq level-0 self-attention only;
-        # HCP_FLASH_ATTN=1 forces it everywhere, =0 disables.
+        # Crossover measured on v5e (scan-amortized, B8 H8, BQ/BK=1024):
+        #   S=4096 D40: ours 5.8ms vs XLA 18.7ms (3.2x)
+        #   S=1024 D80: ours 0.88ms vs XLA 1.77ms (2.0x)
+        #   S=256 D160: parity (0.62 vs 0.64) -> stay on XLA below 1024.
+        # HCP_FLASH_ATTN=1 forces flash everywhere, =0 disables.
         force = os.environ.get('HCP_FLASH_ATTN')
-        threshold = {None: 4096, '1': 256, '0': 1 << 30}.get(force, 4096)
+        threshold = {None: 1024, '1': 256, '0': 1 << 30}.get(force, 1024)
         use_flash = (jax.default_backend() == 'tpu' and bias is None
                      and q.shape[-2] >= threshold and q.shape[-2] == k.shape[-2]
                      and q.shape[-2] % 128 == 0 and q.shape[-1] <= 256)

@@ -23,8 +23,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-DEFAULT_BLOCK_Q = int(os.environ.get('HCP_FLASH_BQ', '256'))
-DEFAULT_BLOCK_K = int(os.environ.get('HCP_FLASH_BK', '256'))
+# Swept on v5e at (B8,H8,S4096,D40): 256/256=16.9ms, 512/512=9.2ms,
+# 512/1024=6.0ms, 1024/1024=5.8ms (XLA fused attention: 18.7ms).
+DEFAULT_BLOCK_Q = int(os.environ.get('HCP_FLASH_BQ', '1024'))
+DEFAULT_BLOCK_K = int(os.environ.get('HCP_FLASH_BK', '1024'))
 NEG_INF = -1e30
 
 
