@@ -89,3 +89,24 @@ def test_alphas_cumprod_matches_sd_formula():
     betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000) ** 2
     acp = np.cumprod(1 - betas)
     np.testing.assert_allclose(np.asarray(s.alphas_cumprod), acp, rtol=1e-5)
+
+
+def test_karras_sigmas_converge():
+    sched = NoiseSchedule.make()
+    sampler = make_sampler('dpm++_2m', sched, 20, use_karras_sigmas=True)
+    x_star = jnp.full(SHAPE, 0.7)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, SHAPE) * sampler.init_noise_sigma
+    state = sampler.init_state(SHAPE)
+    acp = sched.alphas_cumprod
+    for i in range(20):
+        t = sampler.timesteps[i]
+        x_in = sampler.scale_model_input(state, x, jnp.asarray(i))
+        a = acp[t]
+        eps = (x_in - jnp.sqrt(a) * x_star) / jnp.sqrt(1 - a)
+        x, state, _ = sampler.step(state, eps, jnp.asarray(i), x, None)
+    np.testing.assert_allclose(np.asarray(x), 0.7, atol=0.1)
+    # karras sigma spacing is rho-7 (first/last match, interior differs)
+    plain = make_sampler('dpm++_2m', sched, 20)
+    assert not np.allclose(np.asarray(sampler.sigmas[:-1]),
+                           np.asarray(plain.sigmas[:-1]))
