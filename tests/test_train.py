@@ -199,3 +199,32 @@ def test_att_mask_zero_gives_zero_loss(world):
     batch.pop('att_mask')
     _, m3 = step(state, frozen, batch, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(m2['loss']), 2 * float(m3['loss']), rtol=1e-5)
+
+
+def test_vpred_training(world):
+    """SD2.x-style v-prediction training objective."""
+    overlay, _ = make_lora_overlay(
+        jax.random.PRNGKey(0), world['unet_params'],
+        [{'layers': ['re:.*attn1\\.to_q$'], 'rank': 2}])
+    sched = NoiseSchedule.make(prediction_type='v_prediction')
+    unet, frontend = world['unet'], world['frontend']
+    import optax
+    tx = optax.adam(1e-2)
+    from hcpdiff_tpu.trainer.step import build_train_step, init_train_state, StepConfig
+    step = jax.jit(build_train_step(
+        lambda p, x, t, c, **e: unet.apply({'params': p}, x, t, c, **e),
+        lambda p, ids, tm, ext: frontend.encode_ids(p, ids, tm, ext),
+        sched, MSELoss(), tx, None, StepConfig()))
+    state = init_train_state({'lora_unet': overlay}, tx)
+    frozen = {'unet': world['unet_params'], 'te': world['te_params']}
+    batch = make_batch(world)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.pack)[1]).copy()
+    for _ in range(8):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, frozen, batch, sub)
+        losses.append(float(m['loss']))
+    assert all(np.isfinite(l) for l in losses)
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.pack)[1])
+    assert not np.allclose(p0, p1)  # v-pred gradients flow
