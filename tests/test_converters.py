@@ -91,3 +91,21 @@ def test_decoder_up_reversal():
           np.ones((2, 2), np.float32)}
     ldm = vae_diffusers_to_ldm(sd)
     assert 'first_stage_model.decoder.up.3.block.0.conv1.weight' in ldm
+
+
+def test_webui_manager_loads_single_file(tmp_path):
+    """CkptManagerWebui: synthetic LDM single-file -> diffusers parts."""
+    from hcpdiff_tpu.ckpt.formats import save_safetensors
+    from hcpdiff_tpu.ckpt.manager import CkptManagerWebui
+    sd = _synth_unet_diffusers()
+    ldm = unet_diffusers_to_ldm(sd)
+    ldm['first_stage_model.encoder.conv_in.weight'] = \
+        np.zeros((4, 4), np.float32)
+    ldm['cond_stage_model.transformer.text_model.embeddings.token_embedding.weight'] = \
+        np.zeros((10, 4), np.float32)
+    p = str(tmp_path / 'model.safetensors')
+    save_safetensors(ldm, p)
+    parts = CkptManagerWebui.load_webui_parts(p)
+    assert set(parts) == {'unet', 'vae', 'text_encoder'}
+    assert set(parts['unet']) == set(sd)
+    assert 'text_model.embeddings.token_embedding.weight' in parts['text_encoder']
