@@ -1,15 +1,17 @@
 """Flash attention for TPU (Pallas) — the xFormers stand-in on the UNet/VAE
 self-attention hot path (SURVEY.md §2.10 native-inventory row 1).
 
-Online-softmax tiled attention: grid over (batch*heads, q-blocks); the
+Online-softmax tiled attention: grid over (batch, heads, q-blocks); the
 kernel streams K/V blocks through VMEM with fp32 running (max, sum, acc)
 scratch. Forward is Pallas; backward recomputes attention under XLA (exact
 same math in fp32) via custom_vjp — correct gradients with zero extra
 forward memory; a fused Pallas backward is a later optimization.
 
-Layout: [B, H, S, D]. D is zero-padded to the 128-lane boundary host-side
-(cheap, fused by XLA); S must be a multiple of the q/k block (guarded by
-the dispatcher in ops/attention.py).
+Layout: [B, H, S, D] operands are consumed directly — no host-side lane
+padding (Mosaic pads sub-128 minor dims inside VMEM tiles) and no
+(B*H)-flattening reshape (XLA materialized both as HBM copies costing
+~20% of the denoise loop). S must be a multiple of the q/k block (guarded
+by the dispatcher in ops/attention.py).
 """
 from __future__ import annotations
 
@@ -33,8 +35,8 @@ NEG_INF = -1e30
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   block_k: int, seq_k: int, scale: float, causal: bool,
                   block_q: int):
-    qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale        # [BQ, D]
 
     num_k = seq_k // block_k
 
@@ -43,8 +45,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def body(ki, _):
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [BQ, BK]
         if causal:
@@ -71,8 +73,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     else:
         jax.lax.fori_loop(0, num_k, body, ())
 
-    o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0], 1e-20)[:, None]
-                ).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0], 1e-20)[:, None]
+                   ).astype(o_ref.dtype)
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -83,31 +85,27 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Sk = k.shape[2]
     block_q = min(block_q, Sq)
     block_k = min(block_k, Sk)
-    # No host-side lane padding: Mosaic pads sub-128 minor dims inside the
-    # VMEM tiles, so DMAs move only the real D bytes. (The old jnp.pad
-    # 40->128 cost ~600ms/20-step-loop in pad+copy+reshape HBM traffic.)
+    # No host-side lane padding (Mosaic pads sub-128 minor dims inside the
+    # VMEM tiles) and no (B,H,S,D)->(B*H,S,D) reshape (XLA materialized it
+    # as a copy): the kernel grids directly over (B, H, q-blocks).
     Dp = D
-
-    qf = q.reshape(B * H, Sq, Dp)
-    kf = k.reshape(B * H, Sk, Dp)
-    vf = v.reshape(B * H, Sk, Dp)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, seq_k=Sk,
                                scale=scale, causal=causal, block_q=block_q)
     out = pl.pallas_call(
         kernel,
-        grid=(B * H, Sq // block_q),
+        grid=(B, H, Sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, Dp), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, Sk, Dp), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk, Dp), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, Sk, Dp), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sq, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, Dp), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, Dp), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -117,8 +115,8 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             flops=4 * B * H * Sq * Sk * Dp,
             bytes_accessed=(B * H * (Sq + 2 * Sk) * Dp * q.dtype.itemsize),
             transcendentals=B * H * Sq * Sk),
-    )(qf, kf, vf)
-    return out.reshape(B, H, Sq, Dp)
+    )(q, k, v)
+    return out
 
 
 def _xla_reference(q, k, v, causal, scale):
