@@ -83,3 +83,15 @@ def test_instantiate_target_and_partial():
 def test_legacy_target_remap():
     spec = containerize({'_target_': 'hcpdiff_tpu.config.node.Cfg'})
     assert isinstance(instantiate(spec), Cfg)
+
+
+def test_reference_target_paths_instantiate():
+    """Reference yaml _target_ strings resolve through the compat remap."""
+    from hcpdiff_tpu.config.instantiate import locate
+    from hcpdiff_tpu.data.buckets import RatioBucket
+    from hcpdiff_tpu.data.dataset import TextImagePairDataset
+    from hcpdiff_tpu.data.transforms import TagShuffle
+    assert locate('hcpdiff.data.bucket.RatioBucket.from_files').__self__ is RatioBucket
+    assert locate('hcpdiff.data.TextImagePairDataset') is TextImagePairDataset
+    assert locate('hcpdiff.utils.caption_tools.TagShuffle') is TagShuffle
+    assert locate('hcpdiff.loggers.CLILogger') is not None
