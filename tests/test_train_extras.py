@@ -266,3 +266,39 @@ def test_multi_bucket_shapes_train(proj, tmp_path):
     sizes = {t.datasets[0].bucket[i][1] for i in range(len(t.datasets[0]))}
     assert len(sizes) >= 2  # genuinely multi-resolution
     assert t.train() == 2
+
+
+def test_training_determinism(proj, tmp_path):
+    """Same seed -> bit-identical loss sequence (SURVEY.md §5.2: the
+    reference only has determinism knobs; we assert it)."""
+    from hcpdiff_tpu.config import containerize
+    from hcpdiff_tpu.trainer.trainer import Trainer
+
+    def run(exp):
+        cfg = containerize({
+            'exp_dir': str(tmp_path / exp),
+            'mixed_precision': 'fp32', 'seed': 7, 'ckpt_type': 'safetensors',
+            'lora_unet': [{'lr': 1e-3, 'rank': 2,
+                           'layers': ['re:.*attn1\\.to_q$']}],
+            'train': {'train_steps': 2, 'save_step': 10,
+                      'loss': {'criterion': {'_target_': 'mse'}},
+                      'optimizer': {'_target_': 'optim.adamw'},
+                      'scheduler': {'name': 'constant',
+                                    'num_training_steps': 2}},
+            'model': {'pretrained_model_name_or_path': 'tiny',
+                      'gradient_checkpointing': False},
+            'data': {'dataset1': {
+                'batch_size': 2, 'cache_latents': True,
+                'source': {'s1': {'img_root': str(proj / 'imgs')}},
+                'bucket': {'_target_': 'FixedBucket', 'target_size': 16}}},
+            'tokenizer_pt': {'emb_dir': None, 'train': None},
+            'logger': [{'_target_': 'CLILogger', 'log_step': 1}],
+        })
+        t = Trainer(cfg)
+        t.train()
+        return jax.device_get(t.state.pack)
+
+    a = run('det_a')
+    b = run('det_b')
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
