@@ -115,18 +115,142 @@ def _make_gn_pallas(groups, eps, apply_silu, S, C):
     return fn
 
 
+# ---------------------------------------------------- streaming variant ----
+
+def _indicator(C: int, groups: int):
+    chan = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
+    return (chan // (C // groups) == grp).astype(jnp.float32)
+
+
+def _gn_stats_kernel(x_ref, stats_ref, sum_ref, sq_ref, *, groups: int,
+                     n_tiles: int, n_per_group: float):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+
+    x = x_ref[0].astype(jnp.float32)                       # [TS, C]
+    sum_ref[:] = sum_ref[:] + jnp.sum(x, axis=0, keepdims=True)
+    sq_ref[:] = sq_ref[:] + jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(t == n_tiles - 1)
+    def _finish():
+        C = x.shape[-1]
+        M = _indicator(C, groups)
+        gsum = jax.lax.dot_general(sum_ref[:], M, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        gsq = jax.lax.dot_general(sq_ref[:], M, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        mean = gsum / n_per_group
+        var = gsq / n_per_group - mean * mean
+        stats_ref[0, 0] = mean[0]
+        stats_ref[0, 1] = var[0]
+
+
+def _gn_apply_kernel(x_ref, stats_ref, scale_ref, bias_ref, o_ref, *,
+                     groups: int, eps: float, apply_silu: bool):
+    x = x_ref[0].astype(jnp.float32)                       # [TS, C]
+    C = x.shape[-1]
+    M = _indicator(C, groups)
+    mean_g = stats_ref[0, 0][None]                         # [1, G]
+    var_g = stats_ref[0, 1][None]
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jax.lax.dot_general(mean_g, M, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    inv_c = jax.lax.dot_general(inv_g, M, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    y = (x - mean_c) * inv_c
+    y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _gn_silu_streaming_raw(x, scale, bias, groups, eps, apply_silu, S, C,
+                           tile_s):
+    B = x.shape[0]
+    orig_shape = x.shape
+    xf = x.reshape(B, S, C)
+    n_tiles = S // tile_s
+    stats = pl.pallas_call(
+        functools.partial(_gn_stats_kernel, groups=groups, n_tiles=n_tiles,
+                          n_per_group=float(S * (C // groups))),
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec((1, tile_s, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, groups), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, groups), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, C), jnp.float32),
+                        pltpu.VMEM((1, C), jnp.float32)],
+    )(xf)
+    out = pl.pallas_call(
+        functools.partial(_gn_apply_kernel, groups=groups, eps=eps,
+                          apply_silu=apply_silu),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile_s, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, groups), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_s, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+    )(xf, stats, scale.reshape(1, C), bias.reshape(1, C))
+    return out.reshape(orig_shape)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_gn_streaming(groups, eps, apply_silu, S, C, tile_s):
+    @jax.custom_vjp
+    def fn(x, scale, bias):
+        return _gn_silu_streaming_raw(x, scale, bias, groups, eps, apply_silu,
+                                      S, C, tile_s)
+
+    def fwd(x, scale, bias):
+        return fn(x, scale, bias), (x, scale, bias)
+
+    def bwd(res, g):
+        x, scale, bias = res
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: _gn_silu_xla(x_, s_, b_, groups, eps, apply_silu),
+            x, scale, bias)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def group_norm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                     groups: int = 32, eps: float = 1e-5,
                     apply_silu: bool = True,
-                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """x: [B, H, W, C] (or [B, S, C]); scale/bias: [C]."""
+                    use_pallas: Optional[bool] = None,
+                    streaming_tile: int = 512) -> jnp.ndarray:
+    """x: [B, H, W, C] (or [B, S, C]); scale/bias: [C].
+
+    Dispatch: single-block Pallas kernel when [S, C] fits VMEM; streaming
+    two-pass kernel for larger blocks (any C — lanes pad internally);
+    XLA fallback elsewhere."""
     import math
     C = x.shape[-1]
     S = math.prod(x.shape[1:-1]) if x.ndim > 2 else x.shape[1]
+    on_tpu = jax.default_backend() == 'tpu'
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == 'tpu' and C % 128 == 0
-                      and _fits(S, C, x.dtype.itemsize))
-    if not use_pallas:
-        return _gn_silu_xla(x, scale, bias, groups, eps, apply_silu)
-    return _make_gn_pallas(groups, float(eps), bool(apply_silu), S, C)(
-        x, scale, bias)
+        use_pallas = on_tpu and (C % 128 == 0) and _fits(S, C, x.dtype.itemsize)
+        use_streaming = (on_tpu and not use_pallas and S % streaming_tile == 0
+                         and S >= 2 * streaming_tile)
+    else:
+        use_streaming = False
+    if use_pallas:
+        return _make_gn_pallas(groups, float(eps), bool(apply_silu), S, C)(
+            x, scale, bias)
+    if use_streaming:
+        return _make_gn_streaming(groups, float(eps), bool(apply_silu), S, C,
+                                  streaming_tile)(x, scale, bias)
+    return _gn_silu_xla(x, scale, bias, groups, eps, apply_silu)

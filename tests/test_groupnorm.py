@@ -45,3 +45,16 @@ def test_gn_no_silu():
                           apply_silu=False, use_pallas=False)
     ref = _ref(x, np.ones(32, np.float32), np.zeros(32, np.float32), 4, silu=False)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_gn_streaming_interpret():
+    from hcpdiff_tpu.ops.groupnorm import _gn_silu_streaming_raw, _gn_silu_xla
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 16, 16, 320))  # C=320, S=256
+    scale = jnp.linspace(0.5, 1.5, 320)
+    bias = jnp.linspace(-0.1, 0.1, 320)
+    with pltpu.force_tpu_interpret_mode():
+        out = _gn_silu_streaming_raw(x, scale, bias, 32, 1e-5, True,
+                                     S=256, C=320, tile_s=64)
+    ref = _gn_silu_xla(x, scale, bias, 32, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
