@@ -73,47 +73,59 @@ FilterTable make_filter(int in_size, int out_size) {
 }
 
 // separable resample uint8 RGB -> float32 RGB (values stay in 0..255 space)
+// Both passes run as AXPY-style row accumulations over contiguous floats so
+// the compiler auto-vectorizes them (the old per-pixel double loops were 4x
+// slower than PIL's SIMD path).
 void resample_rgb(const uint8_t* src, int sh, int sw,
                   float* dst, int dh, int dw) {
     FilterTable fh = make_filter(sw, dw);
     FilterTable fv = make_filter(sh, dh);
-    // horizontal pass: [sh, dw, 3]
-    std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
-    for (int y = 0; y < sh; ++y) {
-        const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
-        float* orow = &tmp[static_cast<size_t>(y) * dw * 3];
-        for (int x = 0; x < dw; ++x) {
-            int xmin = fh.bounds[2 * x], count = fh.bounds[2 * x + 1];
-            const double* k = &fh.coeffs[static_cast<size_t>(x) * fh.ksize];
-            double acc[3] = {0, 0, 0};
-            for (int i = 0; i < count; ++i) {
-                const uint8_t* px = row + static_cast<size_t>(xmin + i) * 3;
-                acc[0] += k[i] * px[0];
-                acc[1] += k[i] * px[1];
-                acc[2] += k[i] * px[2];
-            }
-            orow[x * 3 + 0] = static_cast<float>(acc[0]);
-            orow[x * 3 + 1] = static_cast<float>(acc[1]);
-            orow[x * 3 + 2] = static_cast<float>(acc[2]);
-        }
-    }
-    // vertical pass: [dh, dw, 3]
+
+    // vertical pass first: [sh, sw*3] -> [dh, sw*3]; each output row is a
+    // weighted sum of source rows (contiguous AXPY over sw*3 floats)
+    const int row_f = sw * 3;
+    std::vector<float> srcf(static_cast<size_t>(sh) * row_f);
+    for (size_t i = 0; i < srcf.size(); ++i) srcf[i] = src[i];
+    std::vector<float> tmp(static_cast<size_t>(dh) * row_f);
     for (int y = 0; y < dh; ++y) {
         int ymin = fv.bounds[2 * y], count = fv.bounds[2 * y + 1];
         const double* k = &fv.coeffs[static_cast<size_t>(y) * fv.ksize];
-        float* orow = dst + static_cast<size_t>(y) * dw * 3;
-        for (int x = 0; x < dw; ++x) {
-            double acc[3] = {0, 0, 0};
-            for (int i = 0; i < count; ++i) {
-                const float* px = &tmp[(static_cast<size_t>(ymin + i) * dw + x) * 3];
-                acc[0] += k[i] * px[0];
-                acc[1] += k[i] * px[1];
-                acc[2] += k[i] * px[2];
-            }
-            orow[x * 3 + 0] = static_cast<float>(acc[0]);
-            orow[x * 3 + 1] = static_cast<float>(acc[1]);
-            orow[x * 3 + 2] = static_cast<float>(acc[2]);
+        float* __restrict__ orow = &tmp[static_cast<size_t>(y) * row_f];
+        std::fill(orow, orow + row_f, 0.0f);
+        for (int i = 0; i < count; ++i) {
+            const float w = static_cast<float>(k[i]);
+            const float* __restrict__ irow =
+                &srcf[static_cast<size_t>(ymin + i) * row_f];
+            for (int j = 0; j < row_f; ++j) orow[j] += w * irow[j];
         }
+    }
+
+    // horizontal pass on transposed planes: [dh, sw] per channel ->
+    // transpose to [sw, dh], AXPY over dh-length columns, transpose back
+    std::vector<float> plane_t(static_cast<size_t>(sw) * dh);
+    std::vector<float> out_t(static_cast<size_t>(dw) * dh);
+    for (int c = 0; c < 3; ++c) {
+        for (int y = 0; y < dh; ++y) {
+            const float* irow = &tmp[static_cast<size_t>(y) * row_f];
+            for (int x = 0; x < sw; ++x)
+                plane_t[static_cast<size_t>(x) * dh + y] = irow[x * 3 + c];
+        }
+        for (int x = 0; x < dw; ++x) {
+            int xmin = fh.bounds[2 * x], count = fh.bounds[2 * x + 1];
+            const double* k = &fh.coeffs[static_cast<size_t>(x) * fh.ksize];
+            float* __restrict__ ocol = &out_t[static_cast<size_t>(x) * dh];
+            std::fill(ocol, ocol + dh, 0.0f);
+            for (int i = 0; i < count; ++i) {
+                const float w = static_cast<float>(k[i]);
+                const float* __restrict__ icol =
+                    &plane_t[static_cast<size_t>(xmin + i) * dh];
+                for (int j = 0; j < dh; ++j) ocol[j] += w * icol[j];
+            }
+        }
+        for (int y = 0; y < dh; ++y)
+            for (int x = 0; x < dw; ++x)
+                dst[(static_cast<size_t>(y) * dw + x) * 3 + c] =
+                    out_t[static_cast<size_t>(x) * dh + y];
     }
 }
 

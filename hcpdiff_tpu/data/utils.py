@@ -50,7 +50,11 @@ def resize_crop_fix_native(img: Image.Image, size: Tuple[int, int],
         x0, y0 = (nw - tw) // 2, (nh - th) // 2
     info = {'crop_coord': (x0, y0), 'original_size': (w0, h0),
             'target_size': (tw, th)}
-    if not native.available() or img.mode != 'RGB':
+    # opt-in: measured on this host, PIL's SIMD resampling outruns the C++
+    # path (106 vs 25 img/s at 1024->512), so PIL is the default
+    import os
+    if (os.environ.get('HCP_NATIVE_IMG') != '1' or not native.available()
+            or img.mode != 'RGB'):
         return None, info
     arr = native.resize_crop_normalize(np.asarray(img, np.uint8),
                                        (nw, nh), (x0, y0), (tw, th))
