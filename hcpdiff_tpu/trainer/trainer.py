@@ -447,6 +447,14 @@ class Trainer:
         else:
             crit = MSELoss()
 
+        # loss.type 'sample' trains against x0 instead of eps
+        # (reference train_ac.py:457-464 target switch)
+        if str(loss_cfg.get('type', 'eps')) == 'sample' \
+                and self.noise_schedule.prediction_type == 'epsilon':
+            import dataclasses as _dc
+            self.noise_schedule = _dc.replace(self.noise_schedule,
+                                              prediction_type='sample')
+
         cfg_scale = str(tcfg.get('cfg_scale', '1.0'))
         lo, hi, ramp = get_cfg_range(cfg_scale)
 
