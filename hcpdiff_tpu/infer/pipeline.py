@@ -225,11 +225,42 @@ class DiffusionPipeline:
         return self.decode(latents)
 
     def inpaint(self, init_latents, mask_latent, prompt, negative_prompt='',
-                strength=0.75, **kw):
-        """Legacy-pipeline inpainting: per-step re-noised blend of the kept
-        region (reference utils/inpaint_pipe.py semantics). mask_latent:
-        [B,h,w,1], 1 = inpaint region."""
-        # run img2img on the full latent, then blend with re-noised original
+                strength=0.75, inpaint_model: bool = False, **kw):
+        """Inpainting, two modes (reference utils/pipe_hook.py HookPipe_Inpaint
+        + legacy utils/inpaint_pipe.py):
+
+        - ``inpaint_model=True``: a 9-channel inpaint UNet — the extra
+          channels carry [mask, masked_image_latents] as CFG-doubled extra
+          conditioning concatenated to the latent input.
+        - legacy: img2img on the full latent, final blend of the kept region.
+        mask_latent: [B,h,w,1], 1 = inpaint region."""
+        if inpaint_model:
+            masked = init_latents * (1 - mask_latent)
+            extra = jnp.concatenate([mask_latent, masked], axis=-1)
+            B = init_latents.shape[0]
+            extra2 = jnp.concatenate([extra, extra], axis=0)  # CFG doubled
+            base_apply = self.unet_apply
+
+            def apply_with_cond(p, x, t, ctx, **e):
+                n = extra2 if x.shape[0] == 2 * B else extra
+                return base_apply(p, jnp.concatenate([x, n.astype(x.dtype)],
+                                                     axis=-1), t, ctx, **e)
+
+            prompts = [prompt] * B if isinstance(prompt, str) else list(prompt)
+            negs = ([negative_prompt] * B if isinstance(negative_prompt, str)
+                    else list(negative_prompt))
+            ctx, _ = self.encode_prompts(prompts, negs)
+            sampler_name = kw.get('sampler', 'dpm++_2m')
+            steps = int(kw.get('num_steps', 20))
+            sampler = make_sampler(sampler_name, self.schedule, steps)
+            loop = DenoiseLoop(apply_with_cond, sampler)
+            rng = jax.random.PRNGKey(int(kw.get('seed', 0)))
+            r0, r1 = jax.random.split(rng)
+            latents = jax.random.normal(r0, init_latents.shape)
+            out, _ = loop(self.unet_params, latents, ctx, r1,
+                          float(kw.get('guidance_scale', 7.5)))
+            return self.decode(out)
+        # legacy: img2img on the full latent, then blend kept region
         out = self.img2img(init_latents, prompt, negative_prompt,
                            strength=strength, return_latents=True, **kw)
         blended = mask_latent * out + (1 - mask_latent) * init_latents

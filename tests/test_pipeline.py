@@ -100,3 +100,26 @@ def test_img2img_ksampler_strength(pipe):
     out2 = pipe.img2img(init, 'a painting', strength=0.9, num_steps=10,
                         sampler='euler', seed=1, return_latents=True)
     assert float(jnp.abs(out2 - init).mean()) > float(jnp.abs(out - init).mean())
+
+
+def test_inpaint_9channel_model():
+    """Native inpaint-model path: 9-channel UNet input (latent + mask +
+    masked latents), reference HookPipe_Inpaint semantics."""
+    from hcpdiff_tpu.models.unet import UNetConfig, UNet2DCondition
+    from hcpdiff_tpu.infer.pipeline import DiffusionPipeline
+    from helpers import tiny_world
+    w = tiny_world()
+    cfg9 = UNetConfig.tiny(in_channels=9)
+    unet9 = UNet2DCondition(cfg9, dtype=jnp.float32)
+    p9 = unet9.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 9)),
+                    jnp.array([0]), jnp.zeros((1, 77, 32)))['params']
+
+    pipe9 = DiffusionPipeline(
+        lambda p, x, t, c, **e: unet9.apply({'params': p}, x, t, c, **e),
+        p9, w['vae'], w['vae_params'], w['frontend'])
+    init = jnp.zeros((1, 16, 16, 4))
+    mask = jnp.zeros((1, 16, 16, 1)).at[:, :8].set(1.0)
+    img = pipe9.inpaint(init, mask, 'cat', inpaint_model=True,
+                        num_steps=2, sampler='euler', seed=1)
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(img).all()
