@@ -110,3 +110,34 @@ def test_karras_sigmas_converge():
     plain = make_sampler('dpm++_2m', sched, 20)
     assert not np.allclose(np.asarray(sampler.sigmas[:-1]),
                            np.asarray(plain.sigmas[:-1]))
+
+
+def test_ddim_eta_stochastic():
+    """eta>0 DDIM adds noise (stochastic) yet still converges on the oracle."""
+    sched = NoiseSchedule.make()
+    sampler = make_sampler('ddim', sched, 50, eta=1.0)
+    x_star = jnp.full(SHAPE, 0.7)
+    rng = jax.random.PRNGKey(1)
+    rng, r0 = jax.random.split(rng)
+    x = jax.random.normal(r0, SHAPE)
+    state = sampler.init_state(SHAPE)
+    acp = sched.alphas_cumprod
+    for i in range(50):
+        t = sampler.timesteps[i]
+        a = acp[t]
+        eps = (x - jnp.sqrt(a) * x_star) / jnp.sqrt(1 - a)
+        rng, sub = jax.random.split(rng)
+        x, state, _ = sampler.step(state, eps, jnp.asarray(i), x, sub)
+    np.testing.assert_allclose(np.asarray(x), 0.7, atol=0.12)
+    # eta=1 differs from eta=0 trajectory
+    s0 = make_sampler('ddim', sched, 50, eta=0.0)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+    x_a, x_b = x0, x0
+    st_a, st_b = s0.init_state(SHAPE), sampler.init_state(SHAPE)
+    t = s0.timesteps[0]
+    a = acp[t]
+    eps = (x0 - jnp.sqrt(a) * x_star) / jnp.sqrt(1 - a)
+    ra = jax.random.PRNGKey(3)
+    x_a, _, _ = s0.step(st_a, eps, jnp.asarray(0), x_a, ra)
+    x_b, _, _ = sampler.step(st_b, eps, jnp.asarray(0), x_b, ra)
+    assert not np.allclose(np.asarray(x_a), np.asarray(x_b))
