@@ -640,6 +640,22 @@ class Trainer:
         self.orbax.save(step, jax.device_get(self.state))
         self.loggers.info(f'saved ckpt @ step {step}')
 
+    def save_merged(self, out_dir: str):
+        """Collapse the trained pack (ft subsets + LoRA deltas) into the base
+        weights and export a diffusers-layout pipeline (the training-side
+        counterpart of Visualizer.save_model)."""
+        from ..ckpt.manager import CkptManagerDiffusers
+        from .assemble import assemble
+        pack = jax.device_get(self.state.pack)
+        unet_p, te_p, _ = assemble(jax.device_get(self.unet_params),
+                                   jax.device_get(self.te_params),
+                                   pack, self.lora_scales)
+        CkptManagerDiffusers().save_pipeline(
+            out_dir, unet_params=unet_p, unet_cfg=self.unet.cfg,
+            vae_params=jax.device_get(self.vae_params), vae_cfg=self.vae.cfg,
+            te_params=te_p, te_cfg=self.te.cfg)
+        self.loggers.info(f'exported merged pipeline to {out_dir}')
+
 
 def main():
     import argparse

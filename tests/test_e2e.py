@@ -200,3 +200,30 @@ def test_train_then_infer_roundtrip(proj, tmp_path):
     v2 = Visualizer(vcfg2)
     imgs2 = v2.vis_to_dir(num=1)
     assert not np.allclose(imgs, imgs2, atol=1e-5)
+
+
+def test_trainer_save_merged_pipeline(proj, tmp_path):
+    """Train LoRA -> export merged diffusers pipeline -> reload and verify
+    the LoRA delta is baked into the weights."""
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    from hcpdiff_tpu.models.factory import build_models
+    import jax.numpy as jnp
+
+    cfg = _train_cfg(proj, lora_unet=[
+        {'lr': 5e-2, 'rank': 2, 'layers': ['re:.*attn1\\.to_q$']}])
+    cfg['exp_dir'] = str(tmp_path / 'exp_sm')
+    t = Trainer(cfg)
+    t.train()
+    out = str(tmp_path / 'merged')
+    t.save_merged(out)
+
+    world2 = build_models(out, dtype=jnp.float32)
+    # merged to_q differs from the original base (LoRA folded in)
+    path = next(iter(t.pack['lora_unet']))
+    node_m = world2['unet_params']
+    node_b = jax.device_get(t.unet_params)
+    for part in path.split('.'):
+        node_m = node_m[part]
+        node_b = node_b[part]
+    assert not np.allclose(np.asarray(node_m['kernel']),
+                           np.asarray(node_b['kernel']), atol=1e-7)
