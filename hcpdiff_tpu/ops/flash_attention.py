@@ -36,10 +36,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   block_k: int, seq_k: int, scale: float, causal: bool,
                   block_q: int):
     qi = pl.program_id(2)
-    # bf16 MXU operands with fp32 accumulation (preferred_element_type):
-    # the MXU runs bf16 inputs at 2x the fp32 rate; scale is folded into
-    # the fp32 logits after the matmul to keep precision.
-    q = q_ref[0, 0]                                    # [BQ, D] bf16
+    q = q_ref[0, 0].astype(jnp.float32) * scale        # [BQ, D]
 
     num_k = seq_k // block_k
 
@@ -48,10 +45,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def body(ki, _):
-        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)  # [BQ, BK]
         if causal:
             q_ids = (qi * block_q
                      + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
@@ -63,11 +60,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
-        # P in bf16 for the second MXU matmul (standard flash practice;
-        # accumulation stays fp32)
         acc_ref[:] = (acc_ref[:] * alpha[:, None]
-                      + jax.lax.dot_general(p.astype(v.dtype), v,
-                                            (((1,), (0,)), ((), ())),
+                      + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                             preferred_element_type=jnp.float32))
         m_ref[:, 0] = m_cur
         return ()
