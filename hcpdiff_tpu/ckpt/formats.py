@@ -155,7 +155,17 @@ def save_webui_embedding(path: str, vectors: np.ndarray, name: str,
 
 def load_webui_embedding(path: str) -> Tuple[str, np.ndarray]:
     import torch
-    obj = torch.load(path, map_location='cpu', weights_only=False)
+    try:
+        # tensors-only unpickler: no arbitrary-code deserialization
+        obj = torch.load(path, map_location='cpu', weights_only=True)
+    except Exception:
+        # legacy webui .pt files can carry non-tensor metadata classes;
+        # only fall back when explicitly allowed (local trusted files)
+        if os.environ.get('HCP_UNSAFE_PICKLE') != '1':
+            raise ValueError(
+                f'{path}: not loadable with weights_only=True; set '
+                'HCP_UNSAFE_PICKLE=1 to allow full pickle for trusted files')
+        obj = torch.load(path, map_location='cpu', weights_only=False)
     if 'string_to_param' in obj:
         t = obj['string_to_param']['*']
         name = obj.get('name') or os.path.splitext(os.path.basename(path))[0]

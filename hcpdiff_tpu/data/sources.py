@@ -28,9 +28,11 @@ def _list_images(root: str) -> List[str]:
 class DataSource:
     """Base source (reference source/base.py:4): image root + repeat."""
 
-    def __init__(self, img_root: str, repeat: int = 1, **kw):
+    def __init__(self, img_root: str, repeat: int = 1,
+                 bg_color=(255, 255, 255), **kw):
         self.img_root = img_root
         self.repeat = int(repeat)
+        self.bg_color = tuple(bg_color) if bg_color is not None else (255, 255, 255)
 
     def get_image_list(self) -> List[Tuple[str, Dict[str, Any]]]:
         """-> [(path, meta)], repeated ``repeat`` times."""
@@ -38,7 +40,7 @@ class DataSource:
 
     def load_image(self, path: str) -> Image.Image:
         from .utils import composite_rgba
-        return composite_rgba(Image.open(path))
+        return composite_rgba(Image.open(path), self.bg_color)
 
     def get_caption(self, path: str) -> Optional[str]:
         return None
@@ -69,8 +71,9 @@ class Text2ImageSource(DataSource):
 
     def __init__(self, img_root: str, caption_file: Optional[str] = None,
                  prompt_template: Optional[str] = None, repeat: int = 1,
-                 word_names: Optional[dict] = None, text_transforms=None, **kw):
-        super().__init__(img_root, repeat)
+                 word_names: Optional[dict] = None, text_transforms=None,
+                 bg_color=(255, 255, 255), **kw):
+        super().__init__(img_root, repeat, bg_color=bg_color)
         loader = (caption_file if callable(caption_file)
                   else auto_caption_loader(caption_file) if caption_file else None)
         self.captions = loader() if loader else {}

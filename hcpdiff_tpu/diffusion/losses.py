@@ -24,12 +24,17 @@ class MSELoss:
 
 
 class MinSNRLoss(MSELoss):
-    """MSE × min(γ/SNR, 1) (arXiv 2303.09556)."""
+    """MSE × min(γ/SNR, 1) (arXiv 2303.09556).
+
+    Matches reference hcpdiff/loss/min_snr_loss.py:5-25 exactly, including
+    the gamma=1.0 default."""
     need_timesteps = True
 
-    def __init__(self, noise_scheduler: NoiseSchedule, gamma: float = 2.0, **_):
+    def __init__(self, noise_scheduler: NoiseSchedule, gamma: float = 1.0, **_):
         self.gamma = float(gamma)
         self.snr = noise_scheduler.snr  # [T]
+        # sigma = sqrt(1 - alpha_bar), reference's self.sigma table
+        self.sigma = jnp.sqrt(1.0 - noise_scheduler.alphas_cumprod)
 
     def weight(self, timesteps):
         snr = self.snr[timesteps]
@@ -41,36 +46,38 @@ class MinSNRLoss(MSELoss):
 
 
 class SoftMinSNRLoss(MinSNRLoss):
-    """weight = snr·γ²/(snr² + γ²) smooth variant of Min-SNR."""
+    """weight = γ³/(snr² + γ³) smooth variant
+    (reference min_snr_loss.py:28-35; typical gamma=2)."""
 
     def weight(self, timesteps):
         snr = self.snr[timesteps]
-        g2 = self.gamma ** 2
-        return snr * g2 / (snr ** 2 + g2)
+        g3 = self.gamma ** 3
+        return g3 / (snr ** 2 + g3)
 
 
 class KDiffMinSNRLoss(MinSNRLoss):
-    """k-diffusion style weighting: snr-reciprocal soft min."""
+    """k-diffusion style weighting: 4·(γ·snr)²/(snr² + γ²)²
+    (reference min_snr_loss.py:37-43)."""
 
     def weight(self, timesteps):
         snr = self.snr[timesteps]
         g = self.gamma
-        return 4 * (snr * g ** 2) / (snr + g ** 2) ** 2
+        return 4 * (g * snr) ** 2 / (snr ** 2 + g ** 2) ** 2
 
 
 class EDMLoss(MinSNRLoss):
-    """EDM (arXiv 2206.00364) sigma weighting mapped onto discrete SNR."""
+    """EDM (arXiv 2206.00364) weighting: (σ² + γ²)/(snr·(σ·γ)²) where γ
+    plays the sigma_data role (reference min_snr_loss.py:45-52)."""
     need_timesteps = True
 
-    def __init__(self, noise_scheduler: NoiseSchedule, sigma_data: float = 0.5, **_):
-        super().__init__(noise_scheduler, gamma=1.0)
-        self.sigma_data = float(sigma_data)
+    def __init__(self, noise_scheduler: NoiseSchedule, gamma: float = 1.0, **kw):
+        super().__init__(noise_scheduler, gamma=kw.get('sigma_data', gamma))
 
     def weight(self, timesteps):
         snr = self.snr[timesteps]
-        sigma2 = 1.0 / jnp.maximum(snr, 1e-8)
-        sd2 = self.sigma_data ** 2
-        return (sigma2 + sd2) / (sigma2 * sd2)
+        sigma = self.sigma[timesteps]
+        g = self.gamma
+        return (sigma ** 2 + g ** 2) / (snr * (sigma * g) ** 2)
 
 
 LOSSES = {

@@ -47,6 +47,10 @@ class BaseSampler:
         else:
             raise ValueError(spacing)
         self.timesteps = jnp.asarray(np.clip(ts, 0, T - 1), jnp.int32)
+        # t -> t_prev stride. Stored at construction so partial loops
+        # (img2img slicing timesteps/num_steps) keep the full-schedule
+        # stride, matching diffusers' set_timesteps-then-slice behavior.
+        self.step_stride = max(T // self.num_steps, 1)
 
     # helpers
     def _acp(self, t: jnp.ndarray) -> jnp.ndarray:
@@ -75,8 +79,7 @@ class DDIMSampler(BaseSampler):
 
     def step(self, state, model_out, i, x, rng=None):
         t = self.timesteps[i]
-        T = self.schedule.num_train_timesteps
-        t_prev = t - T // self.num_steps
+        t_prev = t - self.step_stride
         a_t = self._acp(t)
         a_prev = jnp.where(t_prev >= 0, self._acp(jnp.maximum(t_prev, 0)), 1.0)
         x0, eps = self._x0_eps(model_out, x, t)
@@ -97,8 +100,7 @@ class DDIMSampler(BaseSampler):
 class DDPMSampler(BaseSampler):
     def step(self, state, model_out, i, x, rng):
         t = self.timesteps[i]
-        T = self.schedule.num_train_timesteps
-        t_prev = t - T // self.num_steps
+        t_prev = t - self.step_stride
         a_t = self._acp(t)
         a_prev = jnp.where(t_prev >= 0, self._acp(jnp.maximum(t_prev, 0)), 1.0)
         x0, eps = self._x0_eps(model_out, x, t)
@@ -218,8 +220,7 @@ class PNDMSampler(BaseSampler):
     def step(self, state, model_out, i, x, rng=None):
         ets, count = state
         t = self.timesteps[i]
-        T = self.schedule.num_train_timesteps
-        t_prev = jnp.maximum(t - T // self.num_steps, 0)
+        t_prev = jnp.maximum(t - self.step_stride, 0)
         _, eps = self._x0_eps(model_out, x, t)
 
         ets = jnp.concatenate([ets[1:], eps[None]], axis=0)

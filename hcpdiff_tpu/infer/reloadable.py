@@ -55,21 +55,9 @@ class VisualizerReloadable(Visualizer):
         return False
 
     def _remerge(self):
-        from .visualizer import ModelMerger
-        world = self.world
-        merge_cfg = self.cfgs.get('merge')
-        um = ModelMerger(world['unet_params'], world['aliases']['unet'])
-        tm = ModelMerger(world['te_params'], world['aliases']['te'])
-        if merge_cfg:
-            for _, group in merge_cfg.items():
-                if not isinstance(group, dict):
-                    continue
-                tgt = um if 'unet' in group.get('type', 'unet') else tm
-                for item in group.get('lora', []) or []:
-                    tgt.load_lora(item['path'], float(item.get('alpha', 1.0)))
-                for item in group.get('part', []) or []:
-                    tgt.load_part(item['path'], float(item.get('alpha', 1.0)))
-        self.unet_params = um.merged()
-        self.te_params = tm.merged()
+        # shared with __init__: keeps the DreamArtist negative branch, the
+        # bf16 cast and the embedding table in sync on hot-reload
+        self._build_merged()
         self.pipe.unet_params = self.unet_params
+        self.pipe.unet_params_neg = self.unet_params_neg
         self.frontend.params = self.te_params

@@ -37,7 +37,9 @@ from .interfaces import DiskInterface, BaseInterface
 
 class ModelMerger:
     """HCPModelLoader equivalent: recipe = base*α + Σ lora_i·scale_i
-    + Σ part_k (reference cfgs/infer/text2img.yaml recipe comment)."""
+    + Σ part_k (reference cfgs/infer/text2img.yaml recipe comment;
+    load_all semantics utils/cfg_net_tools.py:227-321 incl. the ``layers``
+    filter and the ``load_ema`` flag)."""
 
     def __init__(self, params: Any, aliases: Dict[str, str]):
         self.params = params
@@ -45,30 +47,50 @@ class ModelMerger:
         self.overlays: List[dict] = []
         self.scales: List[dict] = []
 
-    def load_part(self, ckpt_path: str, alpha: float = 1.0):
+    def _selected(self, layers) -> Optional[set]:
+        """-> set of selected module paths, or None for 'all'."""
+        if layers is None or layers == 'all':
+            return None
+        from ..adapt.overlay import get_match_layers
+        return set(get_match_layers(list(layers), module_paths(self.params),
+                                    self.aliases))
+
+    def load_part(self, ckpt_path: str, alpha: float = 1.0,
+                  layers='all', load_ema: bool = False):
         ck = auto_manager(ckpt_path).load_ckpt(ckpt_path)
-        base = ck.get('base')
+        base = (ck.get('base_ema') if load_ema else None) or ck.get('base')
         if base:
-            blended = jax.tree_util.tree_map(lambda x: x, self.params)
+            sel = self._selected(layers)
             sub = jax.tree_util.tree_map(lambda v: jnp.asarray(v), base)
 
-            def blend(full, part):
+            def blend(full, part, path=''):
                 if isinstance(part, dict):
-                    return {k: (blend(full[k], part[k]) if k in part else full[k])
+                    return {k: (blend(full[k], part[k],
+                                      f'{path}.{k}' if path else k)
+                                if k in part else full[k])
                             for k in full}
+                mod = path.rsplit('.', 1)[0]  # strip kernel/bias leaf
+                if sel is not None and not any(
+                        mod == s or mod.startswith(s + '.') for s in sel):
+                    return full
                 return full * (1 - alpha) + part * alpha
 
             self.params = blend(self.params, sub)
         return self
 
     def load_lora(self, ckpt_path: str, alpha: float = 1.0,
-                  layers: str = 'all'):
+                  layers='all', load_ema: bool = False):
         ck = auto_manager(ckpt_path).load_ckpt(ckpt_path, aliases=self.aliases)
-        overlay = ck.get('lora')
+        overlay = (ck.get('lora_ema') if load_ema else None) or ck.get('lora')
         if overlay:
-            overlay = jax.tree_util.tree_map(jnp.asarray, overlay)
-            self.overlays.append(overlay)
-            self.scales.append({p: alpha for p in overlay})
+            sel = self._selected(layers)
+            if sel is not None:
+                overlay = {p: v for p, v in overlay.items()
+                           if any(p == s or p.startswith(s + '.') for s in sel)}
+            if overlay:
+                overlay = jax.tree_util.tree_map(jnp.asarray, overlay)
+                self.overlays.append(overlay)
+                self.scales.append({p: alpha for p in overlay})
         return self
 
     def merged(self) -> Any:
@@ -91,62 +113,7 @@ class Visualizer:
         ns_cfg = cfgs.get('infer_args') or Cfg()
         self.schedule = NoiseSchedule.make()
 
-        # --- merge recipe (reference merge: block) ---
-        self.emb_ext = None
-        merge_cfg = cfgs.get('merge')
-        unet_merger = ModelMerger(world['unet_params'], world['aliases']['unet'])
-        te_merger = ModelMerger(world['te_params'], world['aliases']['te'])
-        neg_merger = ModelMerger(world['unet_params'], world['aliases']['unet'])
-        has_neg = False
-        if merge_cfg:
-            for group_name, group in merge_cfg.items():
-                if not isinstance(group, dict):
-                    continue
-                gtype = group.get('type', 'unet')
-                tgt = unet_merger if 'unet' in gtype else te_merger
-                for item in group.get('lora', []) or []:
-                    # DreamArtist: 'branch: n' loras go to the uncond half
-                    if 'unet' in gtype and item.get('branch', 'p') == 'n':
-                        neg_merger.load_lora(item['path'],
-                                             float(item.get('alpha', 1.0)))
-                        has_neg = True
-                    else:
-                        tgt.load_lora(item['path'], float(item.get('alpha', 1.0)))
-                for item in group.get('part', []) or []:
-                    tgt.load_part(item['path'], float(item.get('alpha', 1.0)))
-        self.unet_params = unet_merger.merged()
-        self.unet_params_neg = neg_merger.merged() if has_neg else None
-        self.te_params = te_merger.merged()
-        if self.dtype == jnp.bfloat16:
-            # inference weight cast: halves HBM weight traffic per UNet call
-            cast = lambda t: jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, t)
-            self.unet_params = cast(self.unet_params)
-            if self.unet_params_neg is not None:
-                self.unet_params_neg = cast(self.unet_params_neg)
-            world['vae_params'] = cast(world['vae_params'])
-
-        # --- embeddings dir ---
-        emb_dir = (cfgs.get('emb_dir') or mcfg.get('emb_dir'))
-        rows = []
-        if emb_dir and os.path.isdir(emb_dir):
-            from ..ckpt.formats import load_webui_embedding
-            for f in sorted(os.listdir(emb_dir)):
-                if f.endswith('.pt'):
-                    name, vecs = load_webui_embedding(os.path.join(emb_dir, f))
-                    self.tokenizer.add_word(name, n_vectors=vecs.shape[0])
-                    rows.append(vecs)
-        if rows:
-            flat = np.concatenate(rows, axis=0)
-            if world.get('sdxl'):
-                # SDXL embeddings are the concat of both encoders' vectors
-                from ..models.compose.sdxl_te import split_sdxl_embedding
-                dim_l = world['te_cfg'].hidden_size
-                parts = split_sdxl_embedding(flat, dim_l=dim_l)
-                self.emb_ext = {k: jnp.asarray(v) for k, v in parts.items()}
-            else:
-                self.emb_ext = jnp.asarray(flat)
+        self._build_merged()
 
         self.sdxl = bool(world.get('sdxl'))
         if self.sdxl:
@@ -195,6 +162,75 @@ class Visualizer:
                 self.interfaces.append(DiskInterface(**kwargs))
         if not self.interfaces:
             self.interfaces = [DiskInterface(cfgs.get('output_dir', 'output/'))]
+
+    # ----------------------------------------------------------- merge ----
+    def _build_merged(self):
+        """Run the merge recipe + embeddings dir. Shared by __init__ and
+        VisualizerReloadable._remerge so hot-reload keeps the DreamArtist
+        negative branch, the bf16 cast and the embedding table in sync."""
+        cfgs, world = self.cfgs, self.world
+        mcfg = cfgs.get('model') or Cfg()
+        self.emb_ext = None
+        merge_cfg = cfgs.get('merge')
+        unet_merger = ModelMerger(world['unet_params'], world['aliases']['unet'])
+        te_merger = ModelMerger(world['te_params'], world['aliases']['te'])
+        neg_merger = ModelMerger(world['unet_params'], world['aliases']['unet'])
+        has_neg = False
+        if merge_cfg:
+            load_ema = bool(merge_cfg.get('load_ema', False))
+            for group_name, group in merge_cfg.items():
+                if not isinstance(group, dict):
+                    continue
+                gtype = group.get('type', 'unet')
+                tgt = unet_merger if 'unet' in gtype else te_merger
+                for item in group.get('lora', []) or []:
+                    kw = dict(alpha=float(item.get('alpha', 1.0)),
+                              layers=item.get('layers', 'all'),
+                              load_ema=load_ema)
+                    # DreamArtist: 'branch: n' loras go to the uncond half
+                    if 'unet' in gtype and item.get('branch', 'p') == 'n':
+                        neg_merger.load_lora(item['path'], **kw)
+                        has_neg = True
+                    else:
+                        tgt.load_lora(item['path'], **kw)
+                for item in group.get('part', []) or []:
+                    tgt.load_part(item['path'],
+                                  alpha=float(item.get('alpha', 1.0)),
+                                  layers=item.get('layers', 'all'),
+                                  load_ema=load_ema)
+        self.unet_params = unet_merger.merged()
+        self.unet_params_neg = neg_merger.merged() if has_neg else None
+        self.te_params = te_merger.merged()
+        if self.dtype == jnp.bfloat16:
+            # inference weight cast: halves HBM weight traffic per UNet call
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, t)
+            self.unet_params = cast(self.unet_params)
+            if self.unet_params_neg is not None:
+                self.unet_params_neg = cast(self.unet_params_neg)
+            world['vae_params'] = cast(world['vae_params'])
+
+        # --- embeddings dir ---
+        emb_dir = (cfgs.get('emb_dir') or mcfg.get('emb_dir'))
+        rows = []
+        if emb_dir and os.path.isdir(emb_dir):
+            from ..ckpt.formats import load_webui_embedding
+            for f in sorted(os.listdir(emb_dir)):
+                if f.endswith('.pt'):
+                    name, vecs = load_webui_embedding(os.path.join(emb_dir, f))
+                    self.tokenizer.add_word(name, n_vectors=vecs.shape[0])
+                    rows.append(vecs)
+        if rows:
+            flat = np.concatenate(rows, axis=0)
+            if world.get('sdxl'):
+                # SDXL embeddings are the concat of both encoders' vectors
+                from ..models.compose.sdxl_te import split_sdxl_embedding
+                dim_l = world['te_cfg'].hidden_size
+                parts = split_sdxl_embedding(flat, dim_l=dim_l)
+                self.emb_ext = {k: jnp.asarray(v) for k, v in parts.items()}
+            else:
+                self.emb_ext = jnp.asarray(flat)
 
     # ------------------------------------------------------------- run ----
     def _load_image(self, path: str, width: int, height: int) -> jnp.ndarray:

@@ -10,8 +10,9 @@ forward memory; a fused Pallas backward is a later optimization.
 Layout: [B, H, S, D] operands are consumed directly — no host-side lane
 padding (Mosaic pads sub-128 minor dims inside VMEM tiles) and no
 (B*H)-flattening reshape (XLA materialized both as HBM copies costing
-~20% of the denoise loop). S must be a multiple of the q/k block (guarded
-by the dispatcher in ops/attention.py).
+~20% of the denoise loop). Block sizes are chosen to divide S exactly
+(see _pick_block), so any S works; the dispatcher additionally prefers
+S % 128 == 0 so blocks stay tile-aligned.
 """
 from __future__ import annotations
 
@@ -77,14 +78,33 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                    ).astype(o_ref.dtype)
 
 
+def _pick_block(seq: int, preferred: int) -> int:
+    """Largest block <= preferred that divides seq (multiple of 128 when
+    possible). ARB buckets produce non-square resolutions whose S is a
+    multiple of 128 but not of the preferred 1024 (e.g. 576x640px ->
+    S=5760); a non-dividing block would leave the tail q rows unwritten
+    and drop tail keys from the softmax."""
+    if seq <= preferred:
+        return seq
+    if seq % preferred == 0:
+        return preferred
+    for blk in range(preferred - (preferred % 128), 127, -128):
+        if seq % blk == 0:
+            return blk
+    for blk in range(min(preferred, seq), 0, -1):  # seq % 128 != 0 fallback
+        if seq % blk == 0:
+            return blk
+    return seq
+
+
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    causal: bool, scale: float,
                    block_q: int = DEFAULT_BLOCK_Q,
                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    block_q = min(block_q, Sq)
-    block_k = min(block_k, Sk)
+    block_q = _pick_block(Sq, block_q)
+    block_k = _pick_block(Sk, block_k)
     # No host-side lane padding (Mosaic pads sub-128 minor dims inside the
     # VMEM tiles) and no (B,H,S,D)->(B*H,S,D) reshape (XLA materialized it
     # as a copy): the kernel grids directly over (B, H, q-blocks).

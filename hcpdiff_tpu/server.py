@@ -36,10 +36,12 @@ def _png_b64(arr: np.ndarray) -> str:
 
 
 class InferenceServer:
-    def __init__(self, cfgs):
+    def __init__(self, cfgs, reload_token: str | None = None):
+        import os
         from .infer.reloadable import VisualizerReloadable
         self.viser = VisualizerReloadable(cfgs)
         self.lock = threading.Lock()  # one TPU, serialized generation
+        self.reload_token = reload_token or os.environ.get('HCP_RELOAD_TOKEN')
 
     def txt2img(self, req: Dict[str, Any]) -> Dict[str, Any]:
         import time
@@ -92,6 +94,13 @@ def make_handler(server: InferenceServer):
                 if self.path == '/txt2img':
                     self._json(200, server.txt2img(req))
                 elif self.path == '/reload':
+                    # /reload accepts a full config (can repoint model/emb
+                    # paths) — require the token whenever one is configured
+                    tok = server.reload_token
+                    if tok and self.headers.get('X-Auth-Token') != tok:
+                        self._json(403, {'error': 'invalid or missing '
+                                                  'X-Auth-Token'})
+                        return
                     self._json(200, server.reload(req))
                 else:
                     self._json(404, {'error': 'unknown path'})
@@ -104,8 +113,13 @@ def make_handler(server: InferenceServer):
     return Handler
 
 
-def serve(cfgs, host: str = '0.0.0.0', port: int = 7860):
-    srv = InferenceServer(cfgs)
+def serve(cfgs, host: str = '127.0.0.1', port: int = 7860,
+          reload_token: str | None = None):
+    srv = InferenceServer(cfgs, reload_token=reload_token)
+    if host not in ('127.0.0.1', 'localhost', '::1') and not srv.reload_token:
+        print('[hcpdiff-tpu] WARNING: non-loopback bind without a reload '
+              'token — /reload is open; set --reload-token or '
+              'HCP_RELOAD_TOKEN')
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     print(f'[hcpdiff-tpu] serving on {host}:{port}')
     httpd.serve_forever()
@@ -116,10 +130,14 @@ def main():
     from .config import load
     p = argparse.ArgumentParser()
     p.add_argument('--cfg', required=True)
-    p.add_argument('--host', default='0.0.0.0')
+    p.add_argument('--host', default='127.0.0.1')
     p.add_argument('--port', type=int, default=7860)
+    p.add_argument('--reload-token', default=None,
+                   help='token required in X-Auth-Token for POST /reload '
+                        '(default: HCP_RELOAD_TOKEN env)')
     args, unknown = p.parse_known_args()
-    serve(load(args.cfg, unknown), args.host, args.port)
+    serve(load(args.cfg, unknown), args.host, args.port,
+          reload_token=args.reload_token)
 
 
 if __name__ == '__main__':

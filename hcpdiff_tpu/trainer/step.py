@@ -144,7 +144,9 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
             loss = loss * lw.reshape((-1,) + (1,) * (loss.ndim - 1))
         return jnp.mean(loss)
 
-    grad_fn = jax.grad(forward_loss, argnums=0)
+    # one forward pass yields both loss and grads (XLA is not guaranteed to
+    # CSE a separate forward + VJP forward into one)
+    loss_grad_fn = jax.value_and_grad(forward_loss, argnums=0)
 
     def train_step(state: TrainState, frozen: Dict[str, Any],
                    batch: Dict[str, jnp.ndarray], rng: jax.Array
@@ -153,8 +155,7 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
             def micro(carry, xs):
                 g_acc, l_acc = carry
                 mb, r = xs
-                l = forward_loss(state.pack, frozen, mb, r)
-                g = grad_fn(state.pack, frozen, mb, r)
+                l, g = loss_grad_fn(state.pack, frozen, mb, r)
                 return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + l), None
 
             rngs = jax.random.split(rng, cfg.grad_accum)
@@ -163,8 +164,7 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
             grads = jax.tree_util.tree_map(lambda g: g / cfg.grad_accum, grads)
             loss = loss_sum / cfg.grad_accum
         else:
-            loss = forward_loss(state.pack, frozen, batch, rng)
-            grads = grad_fn(state.pack, frozen, batch, rng)
+            loss, grads = loss_grad_fn(state.pack, frozen, batch, rng)
 
         g_model, g_pt = split_pack(grads)
         p_model, p_pt = split_pack(state.pack)

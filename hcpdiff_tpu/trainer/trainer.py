@@ -49,6 +49,11 @@ class Trainer:
         from ..config.legacy import TrainCFGConverter
         cfgs = TrainCFGConverter().convert(cfgs)
         self.cfgs = cfgs
+        if cfgs.get('multi_host'):
+            # multi-host pod slice: env-driven coordinator discovery. MUST
+            # run before any jax.process_index() query (is_main_process,
+            # exp-dir creation, loggers) or every host thinks it's main.
+            jax.distributed.initialize()
         self.exp_dir = cfgs.get('exp_dir', f'exps/{time.strftime("%Y-%m-%d-%H-%M-%S")}')
         if is_main_process():
             os.makedirs(self.exp_dir, exist_ok=True)
@@ -57,9 +62,6 @@ class Trainer:
         self.loggers = build_loggers(cfgs.get('logger'), self.exp_dir)
         self.seed = int(cfgs.get('seed', 42)) + jax.process_index()
 
-        if cfgs.get('multi_host'):
-            # multi-host pod slice: env-driven coordinator discovery
-            jax.distributed.initialize()
         self.mesh = make_mesh(fsdp=int(cfgs.get('fsdp', 1)))
         self.world_size = self.mesh.devices.size
 
@@ -213,15 +215,20 @@ class Trainer:
             s = dict(s_cfg)
             tgt = str(s.pop('_target_', 'Text2ImageSource')).split('.')[-1]
             cls = src_classes.get(tgt, Text2ImageSource)
-            s.pop('bg_color', None)
+            # att_mask_encode is accepted for config parity but vestigial in
+            # the reference too (stored, never read — pair_dataset.py:40)
             s.pop('att_mask_encode', None)
+            bg_color = s.pop('bg_color', None)
             tt = s.pop('text_transforms', None)
             word_names = s.pop('word_names', {}) or {}
             kw = dict(img_root=s.get('img_root', '.'),
                       caption_file=s.get('caption_file'),
                       prompt_template=s.get('prompt_template'),
                       repeat=int(s.get('repeat', 1)),
-                      word_names=word_names)
+                      word_names=word_names,
+                      text_transforms=self._build_text_transforms(tt))
+            if bg_color is not None:
+                kw['bg_color'] = tuple(int(c) for c in bg_color)
             if cls is Text2ImageCondSource:
                 kw['cond_root'] = s.get('cond_root')
             if cls is Text2ImageAttMapSource:
@@ -249,6 +256,33 @@ class Trainer:
                 * self.vae.cfg.scaling_factor)
             ds.cache_all_latents(lambda imgs: np.asarray(encode(jnp.asarray(imgs))))
         return ds
+
+    @staticmethod
+    def _build_text_transforms(tt_cfg):
+        """Instantiate the source's caption augmentations (reference
+        base_dataset.yaml text_transforms: a torchvision.transforms.Compose
+        of TagShuffle/TagDropout/TagErase/TemplateFill). TemplateFill is
+        skipped here — our source applies template fill structurally via
+        word_names (sources.py make_prompt); the remaining transforms get
+        the (text, rng) calling convention."""
+        if not tt_cfg:
+            return None
+        from ..data.transforms import Compose, TemplateFill
+        node = dict(tt_cfg)
+        items = node.get('transforms', [node] if node.get('_target_') else [])
+        if str(node.get('_target_', '')).endswith('Compose'):
+            items = node.get('transforms') or []
+        built = []
+        for item in items:
+            try:
+                obj = instantiate(item)
+            except Exception:
+                continue
+            if isinstance(obj, TemplateFill):
+                continue
+            if callable(obj):
+                built.append(obj)
+        return Compose(built) if built else None
 
     @staticmethod
     def _build_bucket(b_cfg):
@@ -437,15 +471,24 @@ class Trainer:
         ema_cfg = (self.cfgs.get('model') or Cfg()).get('ema')
         loss_cfg = (tcfg.get('loss') or Cfg())
         crit_cfg = dict(loss_cfg.get('criterion') or {})
-        tgt = str(crit_cfg.get('_target_', 'mse')).lower()
-        if 'minsnr' in tgt.replace('_', '') or 'min_snr' in tgt:
-            crit = MinSNRLoss(self.noise_schedule,
-                              gamma=float(crit_cfg.get('gamma', 2.0)))
+        tgt = str(crit_cfg.get('_target_', 'mse')).lower().replace('_', '')
+        # order matters: the class names (and the reference module path
+        # 'min_snr_loss.EDMLoss') all contain 'minsnr', so the specific
+        # variants must match before the generic 'minsnr'
+        if 'kdiff' in tgt:
+            loss_name = 'kdiff_min_snr'
         elif 'soft' in tgt:
-            crit = LOSSES['soft_min_snr'](self.noise_schedule,
-                                          gamma=float(crit_cfg.get('gamma', 2.0)))
+            loss_name = 'soft_min_snr'
+        elif 'edm' in tgt:
+            loss_name = 'edm'
+        elif 'minsnr' in tgt:
+            loss_name = 'min_snr'
         else:
-            crit = MSELoss()
+            loss_name = 'mse'
+        kw = {k: v for k, v in crit_cfg.items()
+              if k in ('gamma', 'sigma_data')}
+        crit = LOSSES[loss_name](noise_scheduler=self.noise_schedule, **kw)
+        self.criterion = crit
 
         # loss.type 'sample' trains against x0 instead of eps
         # (reference train_ac.py:457-464 target switch)

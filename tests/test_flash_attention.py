@@ -41,6 +41,25 @@ def test_flash_multi_block():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_flash_nonsquare_block_seq():
+    # ARB buckets give S divisible by 128 but not by the preferred 1024
+    # block (e.g. 576x640px -> S=5760). _pick_block must choose a dividing
+    # block so no q rows are left unwritten and no keys dropped.
+    out, ref = _run(Sq=1152, Sk=1152, D=32)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pick_block():
+    from hcpdiff_tpu.ops.flash_attention import _pick_block
+    assert _pick_block(4096, 1024) == 1024
+    assert _pick_block(5760, 1024) == 640
+    assert _pick_block(1152, 1024) == 384
+    assert _pick_block(256, 1024) == 256
+    assert _pick_block(130, 1024) == 130
+    for s in (4096, 5760, 1152, 300):
+        assert s % _pick_block(s, 1024) == 0
+
+
 def test_flash_gradients():
     q = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 256, 32))
     k = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 256, 32))
