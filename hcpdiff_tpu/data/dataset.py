@@ -43,6 +43,7 @@ class TextImagePairDataset:
         self.dream_artist = dream_artist
         self.with_crop_info = with_crop_info
         self._latent_cache: Dict[int, np.ndarray] = {}
+        self._crop_cache: Dict[Any, dict] = {}  # (i, size) -> crop geometry
         self.files: List[Tuple[str, Dict[str, Any]]] = []
 
     # ---- build ----
@@ -72,8 +73,11 @@ class TextImagePairDataset:
                 imgs, metas = zip(*[self._load_image(i, size, rng=None)
                                     for i in chunk])
                 lat = np.asarray(encode_fn(np.stack(imgs)))
-                for i, l in zip(chunk, lat):
+                for i, l, ci in zip(chunk, lat, metas):
                     self._latent_cache[(i, size)] = l
+                    # keep crop geometry for SDXL time_ids (cached latents
+                    # use the deterministic center crop, rng=None)
+                    self._crop_cache[(i, size)] = ci
         if self.cache_dir:
             os.makedirs(self.cache_dir, exist_ok=True)
             key = hashlib.md5(str([p for p, _ in self.files]).encode()).hexdigest()[:12]
@@ -131,6 +135,7 @@ class TextImagePairDataset:
             crop_info = None
             if cached is not None:
                 latents.append(cached)
+                crop_info = self._crop_cache.get((i, size))
             else:
                 img, crop_info = self._load_image(i, size, rng)
                 images.append(img)
@@ -152,11 +157,17 @@ class TextImagePairDataset:
                 cimg = src.get_cond_image(path)
                 cimg, _ = resize_crop_fix(cimg, size, None)
                 conds.append(to_model_input(cimg) * 0.5 + 0.5)
-            if self.with_crop_info and crop_info is not None:
-                ci = crop_info
-                crop_infos.append([ci['original_size'][1], ci['original_size'][0],
-                                   ci['crop_coord'][1], ci['crop_coord'][0],
-                                   h, w])
+            if self.with_crop_info:
+                if crop_info is not None:
+                    ci = crop_info
+                    crop_infos.append([ci['original_size'][1],
+                                       ci['original_size'][0],
+                                       ci['crop_coord'][1],
+                                       ci['crop_coord'][0], h, w])
+                else:
+                    # geometry unknown (e.g. disk cache without crop meta):
+                    # default to uncropped-at-target conditioning
+                    crop_infos.append([h, w, 0, 0, h, w])
 
         batch: Dict[str, Any] = {'loss_weight': np.float32(self.loss_weight)}
         if latents and not images:

@@ -54,6 +54,21 @@ class SDXLTextEncoderFrontend:
     def tokenize_batch(self, texts: Sequence[str]):
         return self.fe1.tokenize_batch(texts)
 
+    def encode_ids_dual(self, te1_params: Any, te2_params: Any,
+                        input_ids: jnp.ndarray,
+                        token_mult: Optional[jnp.ndarray] = None,
+                        emb_ext: Optional[Dict[str, jnp.ndarray]] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """jit-safe dual encode with explicit params (training path:
+        trainer/step.py te_encode; the reference trains through
+        SDXLTEUnetWrapper, hcpdiff/models/wrapper.py:57-96)."""
+        ext = emb_ext or {}
+        h1, _ = self.fe1.encode_ids(te1_params, input_ids, token_mult,
+                                    emb_ext=ext.get('clip_L'))
+        h2, pooled = self.fe2.encode_ids(te2_params, input_ids, token_mult,
+                                         emb_ext=ext.get('clip_bigG'))
+        return jnp.concatenate([h1, h2], axis=-1), pooled
+
     def encode(self, texts: Sequence[str],
                emb_ext: Optional[Dict[str, jnp.ndarray]] = None,
                use_attn_mult: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -146,13 +146,25 @@ def build_models(pretrained: Optional[str] = None,
         with open(path) as f:
             return json.load(f)
 
-    if pretrained == 'tiny':
+    te2_cfg = None
+    if pretrained in ('tiny', 'tiny_sdxl'):
         # self-contained tiny world for tests/smoke runs (no weights needed)
         from ..utils.clip_tokenizer import CLIPTokenizer
         tk = CLIPTokenizer.tiny(words=['cat', 'dog', 'photo', 'painting'])
         te_cfg = te_cfg or CLIPTextConfig.tiny(vocab_size=tk.vocab_size,
                                                eos_token_id=tk.eos_token_id,
                                                bos_token_id=tk.bos_token_id)
+        if pretrained == 'tiny_sdxl':
+            # dual-TE world: ctx = 32 + 48; pooled = TE2 projection (48)
+            te2_cfg = CLIPTextConfig.tiny(vocab_size=tk.vocab_size,
+                                          hidden_size=48, num_attention_heads=4,
+                                          eos_token_id=tk.eos_token_id,
+                                          bos_token_id=tk.bos_token_id,
+                                          projection_dim=48)
+            unet_cfg = unet_cfg or UNetConfig.tiny_sdxl(
+                cross_attention_dim=te_cfg.hidden_size + te2_cfg.hidden_size,
+                projection_class_embeddings_input_dim=8 * 6 + 48)
+            out['sdxl'] = True
         unet_cfg = unet_cfg or UNetConfig.tiny(cross_attention_dim=te_cfg.hidden_size)
         vae_cfg = vae_cfg or VAEConfig.tiny()
         out['_tiny_tokenizer'] = tk
@@ -203,6 +215,11 @@ def build_models(pretrained: Optional[str] = None,
         vae_params = vae.init(r2, jnp.zeros((1, 32, 32, 3)),
                               jax.random.PRNGKey(0))['params']
         te_params = te.init(r3, jnp.zeros((1, 77), jnp.int32))['params']
+        if te2_cfg is not None:
+            te2 = CLIPTextModel(te2_cfg, dtype=jnp.float32)
+            te2_params = te2.init(jax.random.PRNGKey(seed + 11),
+                                  jnp.zeros((1, 77), jnp.int32))['params']
+            out.update(te2=te2, te2_params=te2_params, te2_cfg=te2_cfg)
         tokenizer = out.pop('_tiny_tokenizer', None)
         if tokenizer is None:
             from ..utils.clip_tokenizer import CLIPTokenizer
@@ -217,4 +234,6 @@ def build_models(pretrained: Optional[str] = None,
                aliases={'unet': unet_alias_map(unet_cfg),
                         'te': clip_alias_map(te_cfg),
                         'vae': vae_alias_map(vae_cfg)})
+    if 'te2_cfg' in out:
+        out['aliases']['te2'] = clip_alias_map(out['te2_cfg'])
     return out

@@ -81,3 +81,20 @@ def assemble(frozen_unet: Any, frozen_te: Any, pack: Dict[str, Any],
     emb_key = 'emb' + suffix
     emb_ext = pack.get(emb_key, pack.get('emb'))
     return unet_p, te_p, emb_ext
+
+
+def assemble_te2(frozen_te2: Any, pack: Dict[str, Any],
+                 lora_scales: Optional[Dict[str, Dict[str, float]]] = None,
+                 branch: str = 'pos') -> Any:
+    """SDXL second text encoder: base <- te2_ft <- lora_te2 (the composed-TE
+    half of reference SDXLTextEncoder training, models/compose/*)."""
+    lora_scales = lora_scales or {}
+    te2 = jax.lax.stop_gradient(frozen_te2)
+    if 'te2_ft' in pack:
+        te2 = merge_subset(te2, pack['te2_ft'])
+    suffix = '' if branch == 'pos' else '_neg'
+    lt = pack.get('lora_te2' + suffix)
+    if lt:
+        te2 = merge_overlays(te2, [lt],
+                             [lora_scales.get('lora_te2' + suffix, {})])
+    return te2

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..diffusion.schedules import NoiseSchedule, pyramid_noise
-from .assemble import assemble
+from .assemble import assemble, assemble_te2
 
 
 @flax.struct.dataclass
@@ -105,6 +105,23 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
         noisy = schedule.add_noise(latents, noise, t)
         target = schedule.target(latents, noise, t)
         extra = batch.get('extra_cond') or {}
+        sdxl = 'te2' in frozen
+
+        def encode(te_p, ids, tm, ext, branch='pos'):
+            """-> (ctx, pooled); te params packed as a dict when SDXL
+            (reference trains through SDXLTEUnetWrapper pooled emb,
+            hcpdiff/models/wrapper.py:57-96)."""
+            if sdxl:
+                te2_p = assemble_te2(frozen['te2'], pack, lora_scales, branch)
+                return te_encode({'te': te_p, 'te2': te2_p}, ids, tm, ext)
+            return te_encode(te_p, ids, tm, ext)
+
+        def sdxl_cond(extra, pooled, n):
+            """Attach pooled emb + crop-info time_ids for the SDXL UNet."""
+            tid = batch.get('time_ids')
+            if tid is None:
+                tid = jnp.zeros((n, 6), jnp.float32)
+            return dict(extra, pooled_text_emb=pooled, time_ids=tid)
 
         if cfg.dream_artist:
             # input_ids laid out [neg..., pos...] (reference collate
@@ -116,18 +133,22 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
                                          lora_scales, branch='neg')
             up_p, te_p, emb_p = assemble(frozen['unet'], frozen['te'], pack,
                                          lora_scales, branch='pos')
-            ctx_n, _ = te_encode(te_n, ids_n, tm_n, emb_n)
-            ctx_p, _ = te_encode(te_p, ids_p, tm_p, emb_p)
-            e_n = unet_apply(up_n, noisy, t, ctx_n, **extra)
-            e_p = unet_apply(up_p, noisy, t, ctx_p, **extra)
+            ctx_n, pooled_n = encode(te_n, ids_n, tm_n, emb_n, 'neg')
+            ctx_p, pooled_p = encode(te_p, ids_p, tm_p, emb_p, 'pos')
+            extra_n = sdxl_cond(extra, pooled_n, B) if sdxl else extra
+            extra_p = sdxl_cond(extra, pooled_p, B) if sdxl else extra
+            e_n = unet_apply(up_n, noisy, t, ctx_n, **extra_n)
+            e_p = unet_apply(up_p, noisy, t, ctx_p, **extra_p)
             scale = _da_scale(t, T, cfg.da_cfg_low, cfg.da_cfg_high, cfg.da_cfg_ramp)
             scale = scale.reshape((-1,) + (1,) * (e_n.ndim - 1))
             pred = e_n + scale * (e_p - e_n)
         else:
             unet_p, te_p, emb_ext = assemble(frozen['unet'], frozen['te'], pack,
                                              lora_scales)
-            ctx, _ = te_encode(te_p, batch['input_ids'],
-                               batch.get('token_mult'), emb_ext)
+            ctx, pooled = encode(te_p, batch['input_ids'],
+                                 batch.get('token_mult'), emb_ext)
+            if sdxl:
+                extra = sdxl_cond(extra, pooled, B)
             if (controlnet_apply is not None and 'controlnet' in pack
                     and batch.get('cond') is not None):
                 down_res, mid_res = controlnet_apply(

@@ -162,11 +162,24 @@ class Trainer:
                 ns = None
         self.noise_schedule = NoiseSchedule.make(**sched_kw)
 
-        self.frontend = TextEncoderFrontend(
-            self.tokenizer, self.te, self.te_params,
-            n_repeats=int(mcfg.get('tokenizer_repeats', 1)),
-            clip_skip=int(mcfg.get('clip_skip', 0)),
-            clip_final_norm=bool(mcfg.get('clip_final_norm', True)))
+        self.sdxl = bool(world.get('sdxl'))
+        self.te2 = world.get('te2')
+        self.te2_params = world.get('te2_params')
+        if self.sdxl:
+            # dual-TE frontend; SDXL convention: clip_skip=1, no final norm
+            from ..models.compose.sdxl_te import SDXLTextEncoderFrontend
+            self.frontend = SDXLTextEncoderFrontend(
+                self.tokenizer, self.te, self.te_params,
+                self.te2, self.te2_params,
+                n_repeats=int(mcfg.get('tokenizer_repeats', 1)),
+                clip_skip=int(mcfg.get('clip_skip', 1)),
+                clip_final_norm=bool(mcfg.get('clip_final_norm', False)))
+        else:
+            self.frontend = TextEncoderFrontend(
+                self.tokenizer, self.te, self.te_params,
+                n_repeats=int(mcfg.get('tokenizer_repeats', 1)),
+                clip_skip=int(mcfg.get('clip_skip', 0)),
+                clip_final_norm=bool(mcfg.get('clip_final_norm', True)))
 
     def make_hooks(self):
         """Prompt-tuning embeddings: load embs dir + register trigger words
@@ -190,6 +203,11 @@ class Trainer:
             offset += vecs.shape[0]
         self.emb_ext0 = (np.concatenate(self.emb_rows, axis=0)
                          if self.emb_rows else None)
+        if self.emb_ext0 is not None and self.sdxl:
+            # SDXL embeddings = concat of both encoders' vectors
+            from ..models.compose.sdxl_te import split_sdxl_embedding
+            self.emb_ext0 = split_sdxl_embedding(
+                self.emb_ext0, dim_l=self.te.cfg.hidden_size)
 
     def build_dataset(self):
         dcfg = self.cfgs.get('data')
@@ -243,12 +261,18 @@ class Trainer:
         bucket = self._build_bucket(b_cfg)
         da = bool(self.cfgs.get('lora_unet') and any(
             sp.get('branch') == 'n' for sp in (self.cfgs.get('lora_unet') or [])))
+        # SDXL conditions on crop-info time_ids (reference
+        # data/crop_info_dataset.py:21 CropInfoPairDataset)
+        with_crop = bool(ds_cfg.get('with_crop_info', self.sdxl))
+        tgt_ds = str(ds_cfg.get('_target_', ''))
+        if 'CropInfo' in tgt_ds:
+            with_crop = True
         ds = TextImagePairDataset(
             source, bucket, frontend=self.frontend,
             vae_scale=2 ** (len(self.vae.cfg.block_out_channels) - 1),
             cache_latents=bool(ds_cfg.get('cache_latents', False)),
             loss_weight=float(ds_cfg.get('loss_weight', 1.0)),
-            dream_artist=da)
+            dream_artist=da, with_crop_info=with_crop)
         ds.build(bs, world_size=1)
         if ds_cfg.get('cache_latents', False):
             encode = jax.jit(lambda x: self.vae.apply(
@@ -333,6 +357,11 @@ class Trainer:
         if cfgs.get('lora_text_encoder'):
             lora_group(cfgs.lora_text_encoder, self.te_params, self.aliases['te'],
                        'lora_te')
+            if self.sdxl:
+                # the same specs target the composed encoder: both halves
+                # get LoRA groups (reference ComposeTextEncoder wrap)
+                lora_group(cfgs.lora_text_encoder, self.te2_params,
+                           self.aliases.get('te2', {}), 'lora_te2')
 
         if cfgs.get('unet'):
             pats = []
@@ -356,13 +385,21 @@ class Trainer:
             if sub:
                 pack['te_ft'] = sub
                 self.group_lrs['te_ft'] = lr
+            if self.sdxl:
+                mask2 = trainable_mask(self.te2_params, pats,
+                                       self.aliases.get('te2', {}))
+                sub2 = extract_subset(self.te2_params, mask2)
+                if sub2:
+                    pack['te2_ft'] = sub2
+                    self.group_lrs['te2_ft'] = lr
 
         # prompt-tuning embeddings
         self.pt_lrs = {}
         pt_cfg = cfgs.get('tokenizer_pt') or Cfg()
         train_items = pt_cfg.get('train') or []
         if train_items and self.emb_ext0 is not None:
-            pack['emb'] = jnp.asarray(self.emb_ext0)
+            # SDXL: dict of per-encoder tables; SD1.5/2.x: one table
+            pack['emb'] = jax.tree_util.tree_map(jnp.asarray, self.emb_ext0)
             for item in train_items:
                 self.pt_lrs[item['name']] = float(item.get('lr', 3e-3))
 
@@ -512,11 +549,16 @@ class Trainer:
 
         unet = self.unet
         frontend = self.frontend
+        sdxl = self.sdxl
 
         def unet_apply(p, x, t, ctx, **extra):
             return unet.apply({'params': p}, x, t, ctx, **extra)
 
         def te_encode(p, ids, tm, ext):
+            if sdxl:
+                # p = {'te':..., 'te2':...} packed by the step (assemble_te2)
+                return frontend.encode_ids_dual(p['te'], p['te2'], ids, tm,
+                                                emb_ext=ext)
             return frontend.encode_ids(p, ids, tm, emb_ext=ext)
 
         cn_apply = None
@@ -533,6 +575,8 @@ class Trainer:
         self.state = init_train_state(self.pack, self.tx, self.tx_pt,
                                       use_ema=self.use_ema)
         self.frozen = {'unet': self.unet_params, 'te': self.te_params}
+        if self.sdxl:
+            self.frozen['te2'] = self.te2_params
         # replicate over the mesh; optionally ZeRO-1-shard optimizer state
         self.state = replicate(self.state, self.mesh)
         self.frozen = replicate(self.frozen, self.mesh)
@@ -669,6 +713,13 @@ class Trainer:
                 base=pack.get('te_ft'), lora_overlay=pack.get('lora_te'),
                 base_ema=ema.get('te_ft'), lora_ema=ema.get('lora_te'),
                 aliases=self.aliases['te'])
+        if 'lora_te2' in pack or 'te2_ft' in pack:
+            self.ckpt_manager.save_model_with_lora(
+                os.path.join(self.exp_dir, 'ckpts',
+                             f'text_encoder_2-{step}{self.ckpt_manager.ext}'),
+                base=pack.get('te2_ft'), lora_overlay=pack.get('lora_te2'),
+                base_ema=ema.get('te2_ft'), lora_ema=ema.get('lora_te2'),
+                aliases=self.aliases.get('te2', {}))
         if 'controlnet' in pack:
             self.ckpt_manager.save_plugins(
                 os.path.join(self.exp_dir, 'ckpts',

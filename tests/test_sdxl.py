@@ -80,3 +80,107 @@ def test_embedding_split_concat():
 def test_time_ids():
     tid = make_sdxl_time_ids((512, 768), (10, 20), (1024, 1024))
     assert tid.tolist() == [768, 512, 20, 10, 1024, 1024]
+
+
+# ---------------------------------------------------------- training ----
+
+@pytest.fixture(scope='module')
+def sdxl_proj(tmp_path_factory):
+    import json
+    from PIL import Image
+    d = tmp_path_factory.mktemp('sdxl_proj')
+    imgs = d / 'imgs'
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    caps = {}
+    for i in range(4):
+        arr = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(imgs / f'img_{i}.png')
+        caps[f'img_{i}'] = f'a photo of cat {i}'
+    with open(imgs / 'captions.json', 'w') as f:
+        json.dump(caps, f)
+    return d
+
+
+def _sdxl_train_cfg(proj, **over):
+    from hcpdiff_tpu.config import containerize, merge
+    base = {
+        'exp_dir': str(proj / 'exp_sdxl'),
+        'mixed_precision': 'fp32',
+        'seed': 1,
+        'ckpt_type': 'safetensors',
+        'train': {
+            'train_steps': 2, 'save_step': 2,
+            'gradient_accumulation_steps': 1, 'max_grad_norm': 1.0,
+            'cfg_scale': '1.0',
+            'loss': {'criterion': {'_target_': 'mse'}},
+            'optimizer': {'_target_': 'optim.adamw'},
+            'scheduler': {'name': 'constant', 'num_warmup_steps': 0,
+                          'num_training_steps': 2},
+        },
+        'model': {'pretrained_model_name_or_path': 'tiny_sdxl',
+                  'clip_skip': 1, 'clip_final_norm': False,
+                  'tokenizer_repeats': 1, 'gradient_checkpointing': False},
+        'logger': [{'_target_': 'CLILogger', 'log_step': 1}],
+        'lora_unet': [{'lr': 1e-3, 'rank': 2,
+                       'layers': ['re:.*attn1\\.to_q$']}],
+        'lora_text_encoder': [{'lr': 1e-4, 'rank': 2,
+                               'layers': ['re:.*self_attn\\.q_proj$']}],
+        'data': {'dataset1': {
+            '_target_': 'hcpdiff.data.CropInfoPairDataset',
+            'batch_size': 2, 'cache_latents': True,
+            'source': {'s1': {'img_root': str(proj / 'imgs'),
+                              'caption_file': str(proj / 'imgs' / 'captions.json')}},
+            'bucket': {'_target_': 'FixedBucket', 'target_size': 32},
+        }},
+        'tokenizer_pt': {'emb_dir': None, 'train': None},
+    }
+    cfg = containerize(base)
+    return merge(cfg, containerize(over)) if over else cfg
+
+
+def test_sdxl_training_e2e(sdxl_proj):
+    """SDXL LoRA training end-to-end: dual-TE LoRA groups, crop-info
+    time_ids, pooled conditioning, reference-format ckpts (closes
+    VERDICT.md missing item 2; reference wrapper.py:57-96 +
+    crop_info_dataset.py:21)."""
+    import os
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    cfg = _sdxl_train_cfg(sdxl_proj)
+    t = Trainer(cfg)
+    assert t.sdxl
+    assert 'lora_te2' in t.pack      # both encoder halves get LoRA
+    assert 'lora_te' in t.pack
+    assert 'te2' in t.frozen
+    assert t.datasets[0].with_crop_info
+    batch = t.datasets[0].get_batch(0)
+    assert 'time_ids' in batch and batch['time_ids'].shape[-1] == 6
+    final = t.train()
+    assert final == 2
+    ext = t.ckpt_manager.ext
+    for name in ('unet-2', 'text_encoder-2', 'text_encoder_2-2'):
+        assert os.path.exists(os.path.join(cfg.exp_dir, 'ckpts', name + ext)), name
+
+
+def test_sdxl_time_ids_affect_loss(sdxl_proj):
+    """The crop-info conditioning must be live in the compiled graph:
+    different time_ids -> different loss for the same rng/batch."""
+    import jax.numpy as jnp
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    cfg = _sdxl_train_cfg(sdxl_proj, exp_dir=str(sdxl_proj / 'exp_sdxl2'))
+    t = Trainer(cfg)
+    batch = {k: v for k, v in t.datasets[0].get_batch(0).items()
+             if k != 'prompts'}
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+
+    def run(tid_scale):
+        b = dict(batch, time_ids=jnp.full_like(batch['time_ids'], tid_scale))
+        st = jax.tree_util.tree_map(jnp.copy, t.state)
+        fz = jax.tree_util.tree_map(jnp.copy, t.frozen)
+        _, m = t._train_step(st, fz, b, rng)
+        return float(m['loss'])
+
+    l0, l1 = run(0.0), run(512.0)
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert abs(l0 - l1) > 1e-8  # conditioning is not constant-folded away
