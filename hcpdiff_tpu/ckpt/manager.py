@@ -97,6 +97,18 @@ class CkptManagerBase:
                 sd[f'{host}{PLACEHOLDER}{pkey.replace(":", ".")}'] = np.asarray(v)
         self._write(sd, path)
 
+    def load_plugins(self, path: str) -> Dict[str, Any]:
+        """-> {plugin_slot: nested param tree} from a ``.___.``-keyed plugin
+        ckpt (reference load_plugin semantics, cfg_net_tools.py:294-315)."""
+        flat = self._read(path)
+        grouped: Dict[str, Dict[str, np.ndarray]] = {}
+        for k, v in flat.items():
+            if PLACEHOLDER not in k:
+                continue
+            host, pkey = k.split(PLACEHOLDER, 1)
+            grouped.setdefault(host, {})[pkey.replace('.', ':')] = v
+        return {h: fold_dict(d, sep=':') for h, d in grouped.items()}
+
     def save_embedding(self, path: str, vectors, name: str,
                        step: Optional[int] = None) -> None:
         save_webui_embedding(path, np.asarray(vectors), name, step)

@@ -30,6 +30,9 @@ class _Namespace:
             setattr(self, k, v)
 
 
+from .data.processor import ControlNetProcessor
+
+
 # reference module paths like hcpdiff.data.bucket.RatioBucket.from_files
 class data:  # noqa: N801
     TextImagePairDataset = TextImagePairDataset
@@ -42,6 +45,7 @@ class data:  # noqa: N801
                                 YamlCaptionLoader=YamlCaptionLoader,
                                 TXTCaptionLoader=TXTCaptionLoader,
                                 auto_caption_loader=auto_caption_loader)
+    data_processor = _Namespace(ControlNetProcessor=ControlNetProcessor)
 
 
 class utils:  # noqa: N801

@@ -56,10 +56,17 @@ class DenoiseLoop:
                 if unet_params_neg is not None:
                     ctx_n, ctx_p = jnp.split(ctx, 2, axis=0)
                     tB = jnp.full((B,), t)
+                    # extra_cond arrives CFG-doubled; the DA branch runs the
+                    # halves separately, so split matching leading dims
+                    def half(e, idx):
+                        return {k: (jnp.split(v, 2, axis=0)[idx]
+                                    if hasattr(v, 'ndim') and v.ndim > 0
+                                    and v.shape[0] == 2 * B else v)
+                                for k, v in e.items()}
                     e_neg = self.unet_apply(unet_params_neg, x_in, tB, ctx_n,
-                                            **extra)
+                                            **half(extra, 0))
                     e_pos = self.unet_apply(unet_params, x_in, tB, ctx_p,
-                                            **extra)
+                                            **half(extra, 1))
                 else:
                     x2 = jnp.concatenate([x_in, x_in], axis=0)
                     t2 = jnp.full((2 * B,), t)

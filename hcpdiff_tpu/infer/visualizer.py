@@ -112,6 +112,7 @@ class Visualizer:
         self.tokenizer = world['tokenizer']
         ns_cfg = cfgs.get('infer_args') or Cfg()
         self.schedule = NoiseSchedule.make()
+        self._apply_new_components(cfgs.get('new_components'))
 
         self._build_merged()
 
@@ -132,8 +133,27 @@ class Visualizer:
                 clip_final_norm=bool(mcfg.get('clip_final_norm', True)))
 
         unet = world['unet']
+        viser = self
 
-        def unet_apply(p, x, t, ctx, **extra):
+        def unet_apply(p, x, t, ctx, cond=None, **extra):
+            # ControlNet residual taps (reference MultiPluginBlock injection,
+            # hcpdiff/models/controlnet.py:69-88): with a loaded plugin and a
+            # cond image, add scaled residuals at the UNet skip/mid points.
+            if cond is not None and viser.plugins:
+                down_acc, mid_acc = None, None
+                for pl in viser.plugins.values():
+                    d, m = viser._controlnet.apply({'params': pl['params']},
+                                                   x, t, ctx, cond)
+                    s = pl['scale']
+                    d = [r * s for r in d]
+                    m = m * s
+                    if down_acc is None:
+                        down_acc, mid_acc = d, m
+                    else:
+                        down_acc = [a + b for a, b in zip(down_acc, d)]
+                        mid_acc = mid_acc + m
+                extra = dict(extra, down_residuals=down_acc,
+                             mid_residual=mid_acc)
             return unet.apply({'params': p}, x, t, ctx, **extra)
 
         self.pipe = DiffusionPipeline(
@@ -163,6 +183,50 @@ class Visualizer:
         if not self.interfaces:
             self.interfaces = [DiskInterface(cfgs.get('output_dir', 'output/'))]
 
+    # -------------------------------------------------- new_components ----
+    # diffusers scheduler class -> our sampler name
+    _SCHED_MAP = {'eulerancestral': 'euler_a', 'eulerdiscrete': 'euler',
+                  'dpmsolvermultistep': 'dpm++_2m', 'unipcmultistep': 'unipc',
+                  'pndm': 'pndm', 'ddim': 'ddim', 'ddpm': 'ddpm'}
+
+    def _apply_new_components(self, nc):
+        """reference 'new_components' block: swap the scheduler and/or VAE
+        without retouching the rest of the config (cfgs/infer/euler_a.yaml,
+        change_vae.yaml)."""
+        if not nc:
+            return
+        sch = nc.get('scheduler')
+        if sch:
+            tgt = str(sch.get('_target_', '')).lower().replace('discretescheduler', 'discrete')
+            for key, name in self._SCHED_MAP.items():
+                if key in tgt or key.replace('discrete', '') in tgt:
+                    ia = self.cfgs.get('infer_args') or Cfg()
+                    ia['sampler'] = name
+                    self.cfgs['infer_args'] = ia
+                    break
+            kw = {k: sch[k] for k in ('beta_start', 'beta_end',
+                                      'beta_schedule', 'prediction_type')
+                  if k in sch}
+            if kw:
+                self.schedule = NoiseSchedule.make(**kw)
+        vae_cfg = nc.get('vae')
+        if vae_cfg:
+            path = vae_cfg.get('pretrained_model_name_or_path')
+            if path and os.path.isdir(path):
+                import json as _json
+                from ..models.factory import (_load_torch_sd,
+                                              _vae_cfg_from_json)
+                from ..models.vae import AutoencoderKL
+                from ..ckpt.sd_convert import vae_torch_to_params
+                sub = (os.path.join(path, 'vae')
+                       if os.path.isdir(os.path.join(path, 'vae')) else path)
+                with open(os.path.join(sub, 'config.json')) as f:
+                    vcfg = _vae_cfg_from_json(_json.load(f))
+                self.world['vae_cfg'] = vcfg
+                self.world['vae'] = AutoencoderKL(vcfg, dtype=self.dtype)
+                self.world['vae_params'] = vae_torch_to_params(
+                    _load_torch_sd(sub), vcfg)
+
     # ----------------------------------------------------------- merge ----
     def _build_merged(self):
         """Run the merge recipe + embeddings dir. Shared by __init__ and
@@ -176,19 +240,30 @@ class Visualizer:
         te_merger = ModelMerger(world['te_params'], world['aliases']['te'])
         neg_merger = ModelMerger(world['unet_params'], world['aliases']['unet'])
         has_neg = False
+        self.plugins: Dict[str, dict] = {}
         if merge_cfg:
             load_ema = bool(merge_cfg.get('load_ema', False))
             for group_name, group in merge_cfg.items():
                 if not isinstance(group, dict):
                     continue
+                if group_name == 'plugin_cfg':
+                    continue  # plugin architecture derives from the UNet cfg
                 gtype = group.get('type', 'unet')
                 tgt = unet_merger if 'unet' in gtype else te_merger
                 for item in group.get('lora', []) or []:
                     kw = dict(alpha=float(item.get('alpha', 1.0)),
                               layers=item.get('layers', 'all'),
                               load_ema=load_ema)
-                    # DreamArtist: 'branch: n' loras go to the uncond half
-                    if 'unet' in gtype and item.get('branch', 'p') == 'n':
+                    # DreamArtist: 'branch: n' loras go to the uncond half.
+                    # Reference configs mark branches with batch-mask ranges
+                    # instead (mask [0,0.5]=neg half, [0.5,1]=pos half,
+                    # cfgs/infer/text2img_DA++.yaml) — map them.
+                    branch = item.get('branch', 'p')
+                    mask = item.get('mask')
+                    if mask is not None and float(mask[0]) == 0.0 \
+                            and float(mask[-1]) <= 0.5:
+                        branch = 'n'
+                    if 'unet' in gtype and branch == 'n':
                         neg_merger.load_lora(item['path'], **kw)
                         has_neg = True
                     else:
@@ -198,6 +273,16 @@ class Visualizer:
                                   alpha=float(item.get('alpha', 1.0)),
                                   layers=item.get('layers', 'all'),
                                   load_ema=load_ema)
+                # plugin state (ControlNet): reference cfg_net_tools.py:294-315
+                for pname, item in dict(group.get('plugin') or {}).items():
+                    states = auto_manager(item['path']).load_plugins(item['path'])
+                    st = states.get(pname)
+                    if st is None and states:
+                        st = next(iter(states.values()))
+                    if st is not None:
+                        self.plugins[pname] = {
+                            'params': jax.tree_util.tree_map(jnp.asarray, st),
+                            'scale': float(item.get('alpha', 1.0))}
         self.unet_params = unet_merger.merged()
         self.unet_params_neg = neg_merger.merged() if has_neg else None
         self.te_params = te_merger.merged()
@@ -232,6 +317,15 @@ class Visualizer:
             else:
                 self.emb_ext = jnp.asarray(flat)
 
+        # plugin (ControlNet) module shared by all loaded plugin states
+        self._controlnet = None
+        if self.plugins:
+            import math
+            from ..models.controlnet import ControlNet
+            vae_scale = 2 ** (len(world['vae_cfg'].block_out_channels) - 1)
+            self._controlnet = ControlNet(world['unet_cfg'], dtype=self.dtype,
+                                          cond_stages=int(math.log2(vae_scale)))
+
     # ------------------------------------------------------------- run ----
     def _load_image(self, path: str, width: int, height: int) -> jnp.ndarray:
         from PIL import Image
@@ -256,6 +350,23 @@ class Visualizer:
                       seed=int(seed), emb_ext=self.emb_ext)
         if ia.get('karras') or ia.get('use_karras_sigmas'):
             common['sampler_kwargs'] = {'use_karras_sigmas': True}
+        # ControlNet condition image (reference ex_input + ControlNetProcessor,
+        # visualizer.py:180-183)
+        ex_input = self.cfgs.get('ex_input')
+        if ex_input and ex_input.get('cond') is not None:
+            from ..config.instantiate import instantiate
+            from ..data.processor import ControlNetProcessor
+            node = ex_input['cond']
+            proc = (instantiate(node) if isinstance(node, dict)
+                    else ControlNetProcessor(node))
+            bs = int(self.cfgs.get('bs', 1))
+            cond = jnp.asarray(proc(width=width, height=height, batch_size=bs))
+            use_cfg = (float(common['guidance_scale']) > 1.0
+                       or self.pipe.unet_params_neg is not None)
+            if use_cfg:
+                cond = jnp.concatenate([cond, cond], axis=0)
+            common['extra_cond'] = dict(common.get('extra_cond') or {},
+                                        cond=cond)
         if mode in ('i2i', 'img2img', 'inpaint') and self.cfgs.get('init_image'):
             init = self._load_image(self.cfgs['init_image'], width, height)
             init_lat = self.pipe.encode(init)

@@ -1,7 +1,8 @@
 from .base import (BasicAction, MemoryMixin, ExecAction, LoopAction,
                    WorkflowRunner, resolve_from_memory)
 from .actions import (LoadModelsAction, BuildModelLoaderAction, LoadLoraAction,
-                      LoadPartAction, RemoveLoraAction, SaveImageAction,
+                      LoadPartAction, RemoveLoraAction, LoadPluginAction,
+                      RemovePluginAction, SaveImageAction,
                       TextHookAction, TextEncodeAction, AttnMultTextEncodeAction,
                       SeedAction, PrepareDiffusionAction, MakeTimestepsAction,
                       MakeLatentAction, NoisePredAction, SampleAction,

@@ -90,6 +90,70 @@ class RemoveLoraAction(BasicAction, MemoryMixin):
         return states
 
 
+def _plugin_unet_apply(memory):
+    """Wrap the base unet_apply so loaded plugins inject residual taps when
+    a ``cond`` kwarg is present (reference workflow/io.py LoadPluginAction +
+    MultiPluginBlock injection, hcpdiff/models/controlnet.py:69-88)."""
+    base = memory['unet_apply_base']
+    plugins = memory['plugins']
+
+    def apply_fn(p, x, t, ctx, cond=None, **extra):
+        if cond is not None and plugins:
+            down_acc, mid_acc = None, None
+            for cn, cp, scale in plugins.values():
+                d, m = cn.apply({'params': cp}, x, t, ctx, cond)
+                d = [r * scale for r in d]
+                m = m * scale
+                if down_acc is None:
+                    down_acc, mid_acc = d, m
+                else:
+                    down_acc = [a + b for a, b in zip(down_acc, d)]
+                    mid_acc = mid_acc + m
+            extra = dict(extra, down_residuals=down_acc, mid_residual=mid_acc)
+        return base(p, x, t, ctx, **extra)
+
+    return apply_fn
+
+
+class LoadPluginAction(BasicAction, MemoryMixin):
+    """Load a ControlNet plugin ckpt and hook it into unet_apply
+    (reference workflow/io.py:13-150 LoadPluginAction)."""
+
+    def __init__(self, path: str, name: str = 'controlnet1',
+                 alpha: float = 1.0, **kw):
+        super().__init__(**kw)
+        self.path, self.name, self.alpha = path, name, float(alpha)
+
+    def __call__(self, memory=None, **states):
+        import math
+        from ..ckpt.manager import auto_manager
+        from ..models.controlnet import ControlNet
+        all_states = auto_manager(self.path).load_plugins(self.path)
+        st = all_states.get(self.name)
+        if st is None and all_states:
+            st = next(iter(all_states.values()))
+        vae_scale = 2 ** (len(memory['vae_cfg'].block_out_channels) - 1)
+        cn = ControlNet(memory['unet_cfg'], dtype=jnp.float32,
+                        cond_stages=int(math.log2(vae_scale)))
+        params = jax.tree_util.tree_map(jnp.asarray, st)
+        memory.setdefault('unet_apply_base', memory['unet_apply'])
+        memory.setdefault('plugins', {})[self.name] = (cn, params, self.alpha)
+        memory['unet_apply'] = _plugin_unet_apply(memory)
+        return states
+
+
+class RemovePluginAction(BasicAction, MemoryMixin):
+    def __init__(self, name: str = 'controlnet1', **kw):
+        super().__init__(**kw)
+        self.name = name
+
+    def __call__(self, memory=None, **states):
+        # keep the wrapper (it is inert with no plugins and still swallows a
+        # stray ``cond`` kwarg); just drop the plugin state
+        (memory.get('plugins') or {}).pop(self.name, None)
+        return states
+
+
 class SaveImageAction(BasicAction):
     def __init__(self, save_root: str = 'output/', image_type: str = 'png', **kw):
         super().__init__(**kw)
@@ -203,8 +267,12 @@ class NoisePredAction(BasicAction, MemoryMixin):
         ts = sampler.timesteps[i]
         B = latents.shape[0]
         x2 = jnp.concatenate([x_in, x_in], axis=0)
+        kw = {}
+        cond = states.get('cond')
+        if cond is not None:
+            kw['cond'] = jnp.concatenate([cond, cond], axis=0)  # CFG-doubled
         eps = memory['unet_apply'](memory['unet_params'], x2,
-                                   jnp.full((2 * B,), ts), text_emb)
+                                   jnp.full((2 * B,), ts), text_emb, **kw)
         e_n, e_p = jnp.split(eps, 2, axis=0)
         pred = e_n + self.g * (e_p - e_n)
         return {'noise_pred': pred, 'latents': latents, 't': t,
