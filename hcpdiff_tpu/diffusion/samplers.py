@@ -211,40 +211,177 @@ class DPMpp2MSampler(KSamplerBase):
 
 
 class PNDMSampler(BaseSampler):
-    """PNDM (PLMS): prk warmup replaced by diffusers skip_prk (plms from
-    step 0 with eps history), the variant SD pipelines actually use."""
+    """PNDM: PLMS multistep, with an optional Runge-Kutta (prk) warmup.
+
+    Default (``prk_warmup=False``) is the skip-prk variant SD pipelines use
+    (plms from step 0 with an eps history). With ``prk_warmup=True`` the
+    first 3 transfers run the pseudo-RK4 warmup from the PNDM paper
+    (arXiv 2202.09778): each RK transfer is 4 sequential model evals, which
+    map onto 4 scan iterations (one eval each) — ``num_steps`` grows by 9
+    and ``timesteps`` becomes the staggered eval plan."""
+
+    # stage codes: 0..3 = RK stages k1..k4, 4 = plms
+    def __init__(self, schedule, num_steps, prk_warmup: bool = False, **kw):
+        super().__init__(schedule, num_steps, **kw)
+        self.prk_warmup = bool(prk_warmup) and self.num_steps >= 4
+        if self.prk_warmup:
+            ts = np.asarray(self.timesteps)
+            d = self.step_stride
+            eval_t, base_t, stage = [], [], []
+            for k in range(3):
+                t = int(ts[k])
+                mid, tp = max(t - d // 2, 0), max(t - d, 0)
+                eval_t += [t, mid, mid, tp]
+                base_t += [t] * 4
+                stage += [0, 1, 2, 3]
+            for k in range(3, len(ts)):
+                eval_t.append(int(ts[k]))
+                base_t.append(int(ts[k]))
+                stage.append(4)
+            self.timesteps = jnp.asarray(eval_t, jnp.int32)
+            self._base_t = jnp.asarray(base_t, jnp.int32)
+            self._stage = jnp.asarray(stage, jnp.int32)
+            self.num_steps = len(eval_t)
 
     def init_state(self, shape):
-        return (jnp.zeros((4,) + shape, jnp.float32), jnp.zeros((), jnp.int32))
+        ets = jnp.zeros((4,) + shape, jnp.float32)
+        count = jnp.zeros((), jnp.int32)
+        if not self.prk_warmup:
+            return (ets, count)
+        # + RK carry: cur_sample (x at the transfer base), accumulated eps
+        return (ets, count, jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32))
 
-    def step(self, state, model_out, i, x, rng=None):
-        ets, count = state
-        t = self.timesteps[i]
-        t_prev = jnp.maximum(t - self.step_stride, 0)
-        _, eps = self._x0_eps(model_out, x, t)
+    def _transfer(self, x, eps, t, t_prev):
+        """PNDM transfer formula (the paper's phi)."""
+        a_t, a_prev = self._acp(t), self._acp(t_prev)
+        return (jnp.sqrt(a_prev / a_t) * x
+                - (a_prev - a_t) * eps
+                / (jnp.sqrt(a_t) * (jnp.sqrt((1 - a_prev) * a_t)
+                                    + jnp.sqrt((1 - a_t) * a_prev))))
 
-        ets = jnp.concatenate([ets[1:], eps[None]], axis=0)
-        count = count + 1
-
+    def _plms_eps(self, ets, count):
         e1 = ets[-1]
         e2 = (3 * ets[-1] - ets[-2]) / 2
         e3 = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
         e4 = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
-        eps_lms = jnp.where(count >= 4, e4, jnp.where(count == 3, e3,
-                            jnp.where(count == 2, e2, e1)))
+        return jnp.where(count >= 4, e4, jnp.where(count == 3, e3,
+                         jnp.where(count == 2, e2, e1)))
 
-        a_t, a_prev = self._acp(t), self._acp(t_prev)
-        # pndm transfer formula
-        x_prev = (jnp.sqrt(a_prev / a_t) * x
-                  - (a_prev - a_t) * eps_lms
-                  / (jnp.sqrt(a_t) * (jnp.sqrt((1 - a_prev) * a_t)
-                                      + jnp.sqrt((1 - a_t) * a_prev))))
-        x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
-        return x_prev, (ets, count), x0
+    def step(self, state, model_out, i, x, rng=None):
+        t_eval = self.timesteps[i]
+        _, eps = self._x0_eps(model_out, x, t_eval)
+        x0 = (x - jnp.sqrt(1 - self._acp(t_eval)) * eps) \
+            / jnp.sqrt(self._acp(t_eval))
+
+        if not self.prk_warmup:
+            ets, count = state
+            t_prev = jnp.maximum(t_eval - self.step_stride, 0)
+            ets = jnp.concatenate([ets[1:], eps[None]], axis=0)
+            count = count + 1
+            x_prev = self._transfer(x, self._plms_eps(ets, count),
+                                    t_eval, t_prev)
+            return x_prev, (ets, count), x0
+
+        ets, count, cur_sample, cur_mo = state
+        stage = self._stage[i]
+        t = self._base_t[i]
+        d = self.step_stride
+        mid = jnp.maximum(t - d // 2, 0)
+        tp = jnp.maximum(t - d, 0)
+
+        is_plms = stage == 4
+        # plms path
+        ets_p = jnp.concatenate([ets[1:], eps[None]], axis=0)
+        count_p = count + 1
+        x_plms = self._transfer(x, self._plms_eps(ets_p, count_p), t, tp)
+        # RK stages (k1: record base sample + push e1; k4: combine)
+        cur_sample_n = jnp.where(stage == 0, x, cur_sample)
+        cur_mo_n = jnp.where(stage == 0, eps / 6,
+                    jnp.where((stage == 1) | (stage == 2), cur_mo + eps / 3,
+                              cur_mo))
+        ets_rk = jnp.where(stage == 0,
+                           jnp.concatenate([ets[1:], eps[None]], axis=0), ets)
+        tgt = jnp.where(stage <= 1, mid, tp)
+        eps_rk = jnp.where(stage == 3, cur_mo_n + eps / 6, eps)
+        x_rk = self._transfer(cur_sample_n, eps_rk, t, tgt)
+        count_rk = jnp.where(stage == 0, count + 1, count)
+
+        x_next = jnp.where(is_plms, x_plms, x_rk)
+        new_state = (jnp.where(is_plms, ets_p, ets_rk),
+                     jnp.where(is_plms, count_p, count_rk),
+                     cur_sample_n,
+                     jnp.where(stage == 3, jnp.zeros_like(cur_mo), cur_mo_n))
+        return x_next, new_state, x0
 
 
-class UniPCSampler(DPMpp2MSampler):
-    """Alias (2nd-order multistep predictor); full UniPC corrector TBD."""
+class UniPCSampler(KSamplerBase):
+    """UniPC (arXiv 2302.04867), bh2 variant, order 2, data prediction —
+    matching diffusers' UniPCMultistepScheduler defaults the reference
+    exposes through its pipelines.
+
+    One model eval per step: at step i the corrector first refines the
+    CURRENT sample (predicted at step i-1) using the fresh model output,
+    then the bh2 predictor advances to sigma_{i+1}. Runs in our k-space
+    (x = x0 + sigma*eps, alpha==1), where lambda = -log(sigma)."""
+
+    def init_state(self, shape):
+        # (last_sample x_{i-1}, m0 = x0-pred @ x_{i-1}, m1 = x0-pred @ x_{i-2})
+        z = jnp.zeros(shape, jnp.float32)
+        return (z, z, z)
+
+    def _lam(self, i):
+        return -jnp.log(jnp.maximum(self.sigmas[i], 1e-12))
+
+    def step(self, state, model_out, i, x, rng=None):
+        last_sample, m0_last, m1_last = state
+        m_t = self._to_x0(model_out, x, i)
+
+        lam_im1 = self._lam(jnp.maximum(i - 1, 0))
+        lam_im2 = self._lam(jnp.maximum(i - 2, 0))
+        lam_i = self._lam(i)
+        lam_ip1 = self._lam(i + 1)
+
+        # ---- corrector (uni_c) on the current sample: s0 = i-1, t = i ----
+        h_c = lam_i - lam_im1
+        hh_c = -h_c
+        phi1_c = jnp.expm1(hh_c)
+        b_h_c = phi1_c                               # bh2
+        # b coefficients: b0 = phi_2/B_h, b1 = 2*phi_3/B_h (phi_k recursions)
+        phi2 = phi1_c / hh_c - 1.0
+        phi3 = phi2 / hh_c - 0.5
+        b0 = phi2 / b_h_c
+        b1 = 2.0 * phi3 / b_h_c
+        r1_c = (lam_im2 - lam_im1) / jnp.where(h_c == 0, 1.0, h_c)
+        # order-2 solve of [[1,1],[r1,1]] rhos = [b0,b1]
+        denom = jnp.where(r1_c == 1.0, 1.0, 1.0 - r1_c)
+        rho0_2 = (b0 - b1) / denom
+        rho1_2 = b0 - rho0_2
+        # order-1 corrector: rhos = [0.5]
+        use_o2 = i >= 2
+        rho_d1 = jnp.where(use_o2, rho0_2, 0.0)      # weight on prev D1
+        rho_dt = jnp.where(use_o2, rho1_2, 0.5)      # weight on D1_t
+        d1_prev = (m1_last - m0_last) / jnp.where(r1_c == 0, 1.0, r1_c)
+        d1_t = m_t - m0_last
+        ratio_c = self.sigmas[i] / jnp.maximum(self.sigmas[jnp.maximum(i - 1, 0)], 1e-12)
+        x_corr = (ratio_c * last_sample - phi1_c * m0_last
+                  - b_h_c * (rho_d1 * d1_prev + rho_dt * d1_t))
+        x_cur = jnp.where(i >= 1, x_corr, x)
+
+        # ---- predictor (uni_p) to sigma_{i+1}: s0 = i, t = i+1 ----
+        s_next = self.sigmas[i + 1]
+        h_p = lam_ip1 - lam_i
+        hh_p = -h_p
+        phi1_p = jnp.expm1(hh_p)
+        r1_p = (lam_im1 - lam_i) / jnp.where(h_p == 0, 1.0, h_p)
+        d1_p = (m0_last - m_t) / jnp.where(r1_p == 0, 1.0, r1_p)
+        ratio_p = s_next / jnp.maximum(self.sigmas[i], 1e-12)
+        x_pred = ratio_p * x_cur - phi1_p * m_t
+        # bh2 order-2 predictor: rhos_p = [0.5] on D1
+        x_pred = x_pred - jnp.where(i >= 1, 0.5, 0.0) * phi1_p * d1_p
+        x_next = jnp.where(s_next == 0, m_t, x_pred)
+
+        return x_next, (x_cur, m_t, m0_last), m_t
 
 
 SAMPLERS = {

@@ -38,7 +38,7 @@ def run_sampler(name, num_steps, schedule=None, seed=0):
     return np.asarray(x), np.asarray(x0)
 
 
-@pytest.mark.parametrize('name', ['ddim', 'ddpm', 'euler', 'euler_a', 'dpm++_2m', 'pndm'])
+@pytest.mark.parametrize('name', ['ddim', 'ddpm', 'euler', 'euler_a', 'dpm++_2m', 'pndm', 'unipc'])
 def test_sampler_converges_to_point_mass(name):
     x, x0 = run_sampler(name, 50)
     assert np.isfinite(x).all()
@@ -141,3 +141,67 @@ def test_ddim_eta_stochastic():
     x_a, _, _ = s0.step(st_a, eps, jnp.asarray(0), x_a, ra)
     x_b, _, _ = sampler.step(st_b, eps, jnp.asarray(0), x_b, ra)
     assert not np.allclose(np.asarray(x_a), np.asarray(x_b))
+
+
+def test_unipc_is_true_corrector():
+    """UniPC is a real predictor-corrector now, not a DPM++ alias. A
+    point-mass oracle has a CONSTANT x0-prediction (all multistep terms
+    vanish, every 2nd-order sampler degenerates to DDIM-like updates), so
+    use a Gaussian-prior oracle whose score is x-dependent: trajectories
+    must now differ from DPM++ 2M while approximating the same ODE."""
+    mu, V = 0.7, 0.25
+    schedule = NoiseSchedule.make()
+    acp = schedule.alphas_cumprod
+
+    def run(name, num_steps=8, seed=0):
+        sampler = make_sampler(name, schedule, num_steps)
+        rng = jax.random.PRNGKey(seed)
+        rng, r0 = jax.random.split(rng)
+        x = jax.random.normal(r0, SHAPE) * sampler.init_noise_sigma
+        state = sampler.init_state(SHAPE)
+        for i in range(num_steps):
+            t = sampler.timesteps[i]
+            x_in = sampler.scale_model_input(state, x, jnp.asarray(i))
+            a = acp[t]
+            # E[x0|x_t] for x0 ~ N(mu, V):
+            x0_hat = mu + (jnp.sqrt(a) * V / (a * V + 1 - a)) * (x_in - jnp.sqrt(a) * mu)
+            eps = (x_in - jnp.sqrt(a) * x0_hat) / jnp.sqrt(1 - a)
+            rng, sub = jax.random.split(rng)
+            x, state, _ = sampler.step(state, eps, jnp.asarray(i), x, sub)
+        return np.asarray(x)
+
+    x_uni = run('unipc')
+    x_dpm = run('dpm++_2m')
+    assert np.isfinite(x_uni).all()
+    assert not np.allclose(x_uni, x_dpm, atol=1e-6)   # no longer an alias
+    # both approximate the same probability-flow ODE: stay close
+    assert np.abs(x_uni - x_dpm).max() < 0.2
+    # at 50 steps the corrector should match or beat DPM++ vs a 200-step
+    # reference solution of the same ODE (measured: 0.046 vs 0.049)
+    x_ref = run('dpm++_2m', num_steps=200)
+    err_uni = np.abs(run('unipc', num_steps=50) - x_ref).max()
+    err_dpm = np.abs(run('dpm++_2m', num_steps=50) - x_ref).max()
+    assert err_uni < 0.06, err_uni
+    assert err_uni <= err_dpm * 1.2, (err_uni, err_dpm)
+
+
+def test_pndm_prk_warmup_converges():
+    """prk_warmup=True: 3 RK4 transfers (12 staggered evals) then plms
+    (reference exposes diffusers PNDMScheduler's prk path)."""
+    schedule = NoiseSchedule.make()
+    s = make_sampler('pndm', schedule, 20, prk_warmup=True)
+    assert s.num_steps == 20 + 9          # 3 transfers x 4 evals + 17 plms
+    assert len(s.timesteps) == s.num_steps
+    x_star = jnp.full(SHAPE, 0.7)
+    rng = jax.random.PRNGKey(0)
+    rng, r0 = jax.random.split(rng)
+    x = jax.random.normal(r0, SHAPE)
+    state = s.init_state(SHAPE)
+    acp = schedule.alphas_cumprod
+    for i in range(s.num_steps):
+        t = s.timesteps[i]
+        a = acp[t]
+        eps = (x - jnp.sqrt(a) * x_star) / jnp.sqrt(1 - a)
+        rng, sub = jax.random.split(rng)
+        x, state, _ = s.step(state, eps, jnp.asarray(i), x, sub)
+    np.testing.assert_allclose(np.asarray(x), 0.7, atol=0.08)
