@@ -122,6 +122,33 @@ class ControlNet(nn.Module):
         return [r * s for r in residuals], mid * s
 
 
+def build_controlnet(rng, unet_cfg: UNetConfig, unet_params: Dict[str, Any],
+                     vae_scale: int = 8, dtype: Any = jnp.bfloat16,
+                     cross_attention_dim: Optional[int] = None,
+                     **_) -> Tuple['ControlNet', Dict[str, Any]]:
+    """Trainable-plugin builder protocol (the generic make_plugin dispatch,
+    reference hcpdiff/utils/cfg_net_tools.py:130-225): any plugin class the
+    Trainer's ``plugin_unet`` config names must expose a module-level
+    ``build_<name>``/classmethod ``from_unet(rng, unet_cfg, unet_params,
+    vae_scale, dtype, **spec) -> (module, params)``; its ``apply(params, x,
+    t, ctx, cond)`` then feeds residual taps into the train step."""
+    import math
+    cn = ControlNet(unet_cfg, dtype=dtype,
+                    cond_stages=int(math.log2(vae_scale)))
+    lat = vae_scale
+    params = cn.init(rng,
+                     jnp.zeros((1, 8, 8, unet_cfg.in_channels)),
+                     jnp.array([0]),
+                     jnp.zeros((1, 77, cross_attention_dim
+                                or unet_cfg.cross_attention_dim)),
+                     jnp.zeros((1, 8 * lat, 8 * lat, 3)))['params']
+    params = init_from_unet(jax.device_get(params), jax.device_get(unet_params))
+    return cn, jax.tree_util.tree_map(jnp.asarray, params)
+
+
+ControlNet.from_unet = staticmethod(build_controlnet)
+
+
 def init_from_unet(cn_params: Dict[str, Any], unet_params: Dict[str, Any]
                    ) -> Dict[str, Any]:
     """Copy shared-submodule weights from a trained UNet into a fresh

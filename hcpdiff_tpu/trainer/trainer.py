@@ -403,27 +403,37 @@ class Trainer:
             for item in train_items:
                 self.pt_lrs[item['name']] = float(item.get('lr', 3e-3))
 
-        # plugins (ControlNet): a trainable sibling network in the pack
+        # plugins: generic make_plugin dispatch (reference
+        # cfg_net_tools.py:130-225) — any _target_ class exposing the
+        # from_unet builder protocol (models/controlnet.py build_controlnet
+        # docstring) becomes a trainable sibling network in the pack
         self.controlnet = None
         plug_cfg = cfgs.get('plugin_unet') or {}
         for pname, spec in dict(plug_cfg).items():
-            tgt = str((spec or {}).get('_target_', ''))
-            if 'ControlNet' in tgt:
-                import math
-                from ..models.controlnet import ControlNet, init_from_unet
-                lat = 2 ** (len(self.vae.cfg.block_out_channels) - 1)
-                self.controlnet = ControlNet(self.unet.cfg, dtype=self.dtype,
-                                             cond_stages=int(math.log2(lat)))
-                cn_params = self.controlnet.init(
-                    jax.random.PRNGKey(self.seed + 7),
-                    jnp.zeros((1, 8, 8, self.unet.cfg.in_channels)),
-                    jnp.array([0]),
-                    jnp.zeros((1, 77, self.unet.cfg.cross_attention_dim)),
-                    jnp.zeros((1, 8 * lat, 8 * lat, 3)))['params']
-                cn_params = init_from_unet(jax.device_get(cn_params),
-                                           jax.device_get(self.unet_params))
-                pack['controlnet'] = jax.tree_util.tree_map(jnp.asarray, cn_params)
-                self.group_lrs['controlnet'] = float(spec.get('lr', 1e-4))
+            spec = dict(spec or {})
+            tgt = str(spec.pop('_target_', ''))
+            spec.pop('_partial_', None)
+            lr = float(spec.pop('lr', 1e-4))
+            builder = None
+            try:
+                cls = locate(tgt)
+                builder = getattr(cls, 'from_unet', None)
+            except Exception:
+                cls = None
+            if builder is None and 'ControlNet' in tgt:
+                from ..models.controlnet import build_controlnet
+                builder = build_controlnet
+            if builder is None:
+                raise ValueError(
+                    f'plugin {pname}: {tgt!r} has no from_unet builder '
+                    '(see models/controlnet.py build_controlnet protocol)')
+            lat = 2 ** (len(self.vae.cfg.block_out_channels) - 1)
+            module, p_params = builder(
+                jax.random.PRNGKey(self.seed + 7), self.unet.cfg,
+                self.unet_params, vae_scale=lat, dtype=self.dtype, **spec)
+            self.controlnet = module
+            pack['controlnet'] = p_params
+            self.group_lrs['controlnet'] = lr
 
         self.pack = pack
         self.dream_artist = 'lora_unet_neg' in pack or 'lora_te_neg' in pack
@@ -490,17 +500,65 @@ class Trainer:
         self.orbax = OrbaxCkptManager(os.path.join(self.exp_dir, 'orbax'))
 
     def load_resume(self):
+        """Weight-only resume from reference-style per-model ckpt lists
+        (reference train_ac.py:280-288: unet list, TE list, plugin state,
+        named embedding words; EMA twins when present)."""
         self.start_step = 0
+        self._resume_ema: Dict[str, Any] = {}
         rcfg = (self.cfgs.get('train') or Cfg()).get('resume')
         if not rcfg:
             return
         self.start_step = int(rcfg.get('start_step', 0))
-        # weight-only resume lists (reference semantics train_ac.py:280-288)
-        for path in (rcfg.get('ckpt_path') or {}).get('unet', []) or []:
-            ck = self.ckpt_manager.load_ckpt(path, aliases=self.aliases['unet'])
-            if 'lora' in ck and 'lora_unet' in self.pack:
-                self.pack['lora_unet'] = jax.tree_util.tree_map(
-                    jnp.asarray, ck['lora'])
+        cp = rcfg.get('ckpt_path') or {}
+        asjnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+
+        def load_model(paths, lora_key, ft_key, frozen_attr, aliases):
+            from .assemble import merge_subset
+            for path in paths or []:
+                ck = self.ckpt_manager.load_ckpt(path, aliases=aliases)
+                if ck.get('lora') and lora_key in self.pack:
+                    ov = dict(self.pack[lora_key])
+                    for p, entry in ck['lora'].items():
+                        if p in ov:
+                            ov[p] = asjnp(entry)
+                    self.pack[lora_key] = ov
+                if ck.get('lora_ema') and lora_key in self.pack:
+                    self._resume_ema[lora_key] = asjnp(ck['lora_ema'])
+                if ck.get('base'):
+                    base = asjnp(ck['base'])
+                    # trained subset resumes into the pack; anything outside
+                    # the current trainable set folds into the frozen base
+                    if ft_key in self.pack:
+                        self.pack[ft_key] = merge_subset(self.pack[ft_key], base)
+                    setattr(self, frozen_attr,
+                            merge_subset(getattr(self, frozen_attr), base))
+                if ck.get('base_ema') and ft_key in self.pack:
+                    self._resume_ema[ft_key] = asjnp(ck['base_ema'])
+                if ck.get('plugin') and 'controlnet' in self.pack:
+                    plugs = self.ckpt_manager.load_plugins(path)
+                    st = next(iter(plugs.values()), None)
+                    if st is not None:
+                        self.pack['controlnet'] = asjnp(st)
+
+        load_model(cp.get('unet'), 'lora_unet', 'unet_ft', 'unet_params',
+                   self.aliases['unet'])
+        load_model(cp.get('TE') or cp.get('text_encoder'), 'lora_te', 'te_ft',
+                   'te_params', self.aliases['te'])
+        for path in cp.get('plugin', []) or []:
+            plugs = self.ckpt_manager.load_plugins(path)
+            st = next(iter(plugs.values()), None)
+            if st is not None and 'controlnet' in self.pack:
+                self.pack['controlnet'] = asjnp(st)
+        words = cp.get('words') or {}
+        items = words.items() if isinstance(words, dict) else words
+        for name, path in items:
+            vecs = load_webui_embedding(path)[1]
+            if name in self.emb_slices and 'emb' in self.pack \
+                    and not isinstance(self.pack['emb'], dict):
+                sl = self.emb_slices[name]
+                emb = np.array(jax.device_get(self.pack['emb']))  # writable copy
+                emb[sl] = vecs[:sl.stop - sl.start]
+                self.pack['emb'] = jnp.asarray(emb)
 
     # ------------------------------------------------------------ steps ----
     def make_train_step(self):
@@ -574,12 +632,24 @@ class Trainer:
             controlnet_apply=cn_apply), donate_argnums=(0,))
         self.state = init_train_state(self.pack, self.tx, self.tx_pt,
                                       use_ema=self.use_ema)
+        if getattr(self, '_resume_ema', None) and self.state.ema is not None:
+            ema = dict(self.state.ema)
+            ema.update(self._resume_ema)
+            self.state = self.state.replace(ema=ema)
         self.frozen = {'unet': self.unet_params, 'te': self.te_params}
         if self.sdxl:
             self.frozen['te2'] = self.te2_params
         # replicate over the mesh; optionally ZeRO-1-shard optimizer state
         self.state = replicate(self.state, self.mesh)
-        self.frozen = replicate(self.frozen, self.mesh)
+        if self.mesh.shape['fsdp'] > 1:
+            # fsdp>1 (config key 'fsdp'): frozen base params shard over the
+            # fsdp axis — the ZeRO-3/Gemini analog for SDXL-scale models
+            # (SURVEY.md §2.9); XLA all-gathers shards into the matmuls.
+            from ..parallel.mesh import fsdp_shardings
+            self.frozen = jax.device_put(jax.device_get(self.frozen),
+                                         fsdp_shardings(self.frozen, self.mesh))
+        else:
+            self.frozen = replicate(self.frozen, self.mesh)
         if bool((self.cfgs.get('train') or {}).get('zero1', False)) \
                 and self.world_size > 1:
             from ..parallel.mesh import zero1_shardings

@@ -294,3 +294,102 @@ def test_webui_embedding_weights_only_roundtrip(tmp_path):
     name, out = load_webui_embedding(p)  # must not need HCP_UNSAFE_PICKLE
     assert name == 'word'
     np.testing.assert_allclose(out, vecs, rtol=1e-6)
+
+
+def test_resume_reference_style_lists(proj, tmp_path):
+    """Full weight-only resume parity (reference train_ac.py:280-288):
+    unet list restores lora + ft subsets, TE list restores te lora, and
+    named embedding words restore rows."""
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    from hcpdiff_tpu.ckpt.formats import save_webui_embedding
+
+    # 1) train something to produce reference-format ckpts
+    exp1 = str(tmp_path / 'exp_a')
+    cfg = _train_cfg(proj, exp_dir=exp1,
+                     train={'train_steps': 2, 'save_step': 2,
+                            'scheduler': {'num_training_steps': 2}},
+                     lora_text_encoder=[{'lr': 1e-3, 'rank': 2,
+                                         'layers': ['re:.*q_proj$']}])
+    t1 = Trainer(cfg)
+    t1.train()
+    ck_unet = os.path.join(exp1, 'ckpts', 'unet-2.safetensors')
+    ck_te = os.path.join(exp1, 'ckpts', 'text_encoder-2.safetensors')
+    assert os.path.exists(ck_unet) and os.path.exists(ck_te)
+    trained_lora = jax.device_get(t1.state.pack['lora_unet'])
+    trained_te = jax.device_get(t1.state.pack['lora_te'])
+
+    # an embedding word file
+    emb_dir = tmp_path / 'embs'
+    emb_dir.mkdir()
+    vecs = np.full((2, 32), 0.25, np.float32)
+    save_webui_embedding(str(emb_dir / 'mypt.pt'),
+                         np.zeros((2, 32), np.float32), 'mypt')
+    word_ck = str(tmp_path / 'mypt-new.pt')
+    save_webui_embedding(word_ck, vecs, 'mypt')
+
+    # 2) fresh trainer resumes from those lists
+    cfg2 = _train_cfg(proj, exp_dir=str(tmp_path / 'exp_b'),
+                      lora_text_encoder=[{'lr': 1e-3, 'rank': 2,
+                                          'layers': ['re:.*q_proj$']}],
+                      tokenizer_pt={'emb_dir': str(emb_dir),
+                                    'train': [{'name': 'mypt', 'lr': 1e-3}]},
+                      train={'resume': {
+                          'start_step': 2,
+                          'ckpt_path': {'unet': [ck_unet], 'TE': [ck_te],
+                                        'words': {'mypt': word_ck}}}})
+    t2 = Trainer(cfg2)
+    assert t2.start_step == 2
+    p = next(iter(trained_lora))
+    np.testing.assert_allclose(
+        np.asarray(t2.pack['lora_unet'][p]['up']),
+        np.asarray(trained_lora[p]['up']), atol=1e-6)
+    pt = next(iter(trained_te))
+    np.testing.assert_allclose(
+        np.asarray(t2.pack['lora_te'][pt]['up']),
+        np.asarray(trained_te[pt]['up']), atol=1e-6)
+    sl = t2.emb_slices['mypt']
+    np.testing.assert_allclose(np.asarray(t2.pack['emb'])[sl], 0.25,
+                               atol=1e-6)
+
+
+def test_trainer_fsdp_shards_frozen(proj, tmp_path):
+    """fsdp: 2 in the config must actually shard the frozen base params
+    over the fsdp mesh axis (previously always replicated)."""
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip('needs 4 virtual devices')
+    cfg = _train_cfg(proj, exp_dir=str(tmp_path / 'exp_fsdp'), fsdp=2)
+    t = Trainer(cfg)
+    assert t.mesh.shape['fsdp'] == 2
+    leaves = jax.tree_util.tree_leaves(t.frozen)
+    sharded = [l for l in leaves
+               if 'fsdp' in str(getattr(l, 'sharding', ''))]
+    assert sharded, 'no frozen leaf is fsdp-sharded'
+    # and a step still runs
+    batch = {k: jnp.asarray(v) for k, v in
+             t.datasets[0].get_batch(0).items() if k != 'prompts'}
+    from hcpdiff_tpu.parallel.mesh import shard_batch
+    batch = shard_batch(batch, t.mesh)
+    st = jax.tree_util.tree_map(jnp.copy, t.state)
+    _, m = t._train_step(st, t.frozen, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m['loss']))
+
+
+def test_generic_make_plugin_dispatch(proj, tmp_path):
+    """Any _target_ class with a from_unet builder works in plugin_unet
+    (reference make_plugin generality, cfg_net_tools.py:130-225)."""
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    cfg = _train_cfg(proj, exp_dir=str(tmp_path / 'exp_plug'),
+                     plugin_unet={'cn1': {
+                         '_target_': 'hcpdiff_tpu.models.controlnet.ControlNet',
+                         'lr': 5e-4}})
+    t = Trainer(cfg)
+    assert 'controlnet' in t.pack
+    assert t.group_lrs['controlnet'] == 5e-4
+
+    import pytest
+    with pytest.raises(ValueError, match='from_unet'):
+        Trainer(_train_cfg(proj, exp_dir=str(tmp_path / 'exp_plug2'),
+                           plugin_unet={'bad': {
+                               '_target_': 'hcpdiff_tpu.data.sources.DataSource'}}))
