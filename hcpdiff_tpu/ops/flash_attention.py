@@ -35,9 +35,14 @@ NEG_INF = -1e30
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   block_k: int, seq_k: int, scale: float, causal: bool,
-                  block_q: int):
+                  block_q: int, use_exp2: bool, p_bf16: bool):
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale        # [BQ, D]
+    # exp2 softmax: exp(x) = exp2(x * log2 e); the log2 e factor folds into
+    # the existing q scale, so the running max/sum run in log2 space for
+    # free — one fewer VPU multiply per logit on the exp-bound hot path.
+    q_scale = scale * (1.4426950408889634 if use_exp2 else 1.0)
+    expf = jnp.exp2 if use_exp2 else jnp.exp
+    q = q_ref[0, 0].astype(jnp.float32) * q_scale      # [BQ, D]
 
     num_k = seq_k // block_k
 
@@ -47,7 +52,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
     def body(ki, _):
         k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [BQ, BK]
         if causal:
@@ -58,9 +62,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
         m_prev = m_ref[:, 0]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+        alpha = expf(m_prev - m_cur)
+        if p_bf16:
+            # bf16 exp halves VPU transcendental work and feeds the PV
+            # matmul with native-bf16 operands; row sums stay fp32
+            p = expf((s - m_cur[:, None]).astype(jnp.bfloat16))
+            v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.bfloat16)
+        else:
+            p = expf(s - m_cur[:, None])
+            v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(
+            p, axis=1, dtype=jnp.float32)
         acc_ref[:] = (acc_ref[:] * alpha[:, None]
                       + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                             preferred_element_type=jnp.float32))
@@ -109,9 +121,12 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # VMEM tiles) and no (B,H,S,D)->(B*H,S,D) reshape (XLA materialized it
     # as a copy): the kernel grids directly over (B, H, q-blocks).
     Dp = D
+    use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
+    p_bf16 = os.environ.get('HCP_FLASH_P_BF16', '0') == '1'
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, seq_k=Sk,
-                               scale=scale, causal=causal, block_q=block_q)
+                               scale=scale, causal=causal, block_q=block_q,
+                               use_exp2=use_exp2, p_bf16=p_bf16)
     out = pl.pallas_call(
         kernel,
         grid=(B, H, Sq // block_q),

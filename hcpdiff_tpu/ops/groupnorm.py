@@ -59,12 +59,38 @@ def _fits(S: int, C: int, itemsize: int) -> bool:
 
 
 def _gn_silu_xla(x, scale, bias, groups, eps, apply_silu):
+    import os
+    if os.environ.get('HCP_GN_DIRECT', '1') == '1':
+        return _gn_silu_xla_direct(x, scale, bias, groups, eps, apply_silu)
     B, C = x.shape[0], x.shape[-1]
     orig_shape = x.shape
     xf = x.astype(jnp.float32).reshape(B, -1, groups, C // groups)
     mean = xf.mean(axis=(1, 3), keepdims=True)
     var = xf.var(axis=(1, 3), keepdims=True)
     xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(B, -1, C)
+    y = xn * scale + bias
+    if apply_silu:
+        y = jax.nn.silu(y)
+    return y.reshape(orig_shape).astype(x.dtype)
+
+
+def _gn_silu_xla_direct(x, scale, bias, groups, eps, apply_silu):
+    """GN with fp32-ACCUMULATED reductions reading the bf16 input directly.
+
+    The legacy formulation upcast x to fp32 and reused that buffer for both
+    the stats and the normalize — XLA materialized the fp32 copy to HBM
+    (~84MB per level-0 activation, the 'convert_reduce' trace bucket). Here
+    each fp32 convert has exactly one consumer, so it fuses into the reduce
+    / the output elementwise and no fp32 copy is ever written."""
+    B, C = x.shape[0], x.shape[-1]
+    orig_shape = x.shape
+    xg = x.reshape(B, -1, groups, C // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jax.lax.square(xg.astype(jnp.float32)),
+                     axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xn = ((xg.astype(jnp.float32) - mean) * inv).reshape(B, -1, C)
     y = xn * scale + bias
     if apply_silu:
         y = jax.nn.silu(y)
