@@ -8,11 +8,17 @@ from .node import Cfg, containerize
 
 
 class DatasetCFGConverter:
+    """Reference DatasetCFGConverter parity (cfg_converter.py:13-26):
+    default source class is the att-map variant; 'tag_transforms' renamed."""
+
     def convert(self, cfg: Cfg) -> Cfg:
         for dataset in (cfg.get('data') or {}).values():
+            if not isinstance(dataset, dict):
+                continue
             for source in (dataset.get('source') or {}).values():
                 if '_target_' not in source:
-                    source['_target_'] = 'hcpdiff_tpu.data.sources.Text2ImageSource'
+                    source['_target_'] = \
+                        'hcpdiff_tpu.data.sources.Text2ImageAttMapSource'
                 if 'tag_transforms' in source:
                     source['text_transforms'] = source.pop('tag_transforms')
         return cfg
@@ -25,10 +31,13 @@ class TrainCFGConverter:
     def convert(self, cfg: Cfg) -> Cfg:
         model = cfg.get('model') or Cfg()
         # old per-model ema flags -> unified ema block
+        # (reference cfg_converter.py:33-44)
         if 'ema_unet' in model and 'ema' not in model:
             ema = model.get('ema_unet', 0)
-            model['ema'] = (None if not ema
-                            else containerize({'decay_max': ema, 'power': 0.85}))
+            model['ema'] = (None if not ema else containerize({
+                '_target_': 'hcpdiff_tpu.trainer.ema.ModelEMA',
+                '_partial_': True,
+                'decay_max': ema, 'power': 0.85}))
         for key in ('tokenizer', 'noise_scheduler', 'unet', 'text_encoder', 'vae'):
             model.setdefault(key, None)
         cfg['model'] = model

@@ -5,10 +5,13 @@ log-aspect-ratios); every batch is drawn from one bucket, so XLA compiles one
 train_step per bucket resolution — a bounded number (5-10) of static shapes,
 the TPU answer to variable image sizes (SURVEY.md §7 hard part 5).
 
-Determinism contract (matching the reference's fixed seeds,
-data/bucket.py:106,180,195): k-means seed 42; epoch shuffle seed 42+epoch;
-every bucket is padded to a multiple of ``bs x world_size``
-(train_ac.py:306).
+Determinism contract: the epoch shuffle (seed 42+epoch) and the
+bucket-padding invariant (multiple of ``bs x world_size``,
+train_ac.py:306) match the reference exactly. Bucket ASSIGNMENT is
+deterministic but not byte-identical to the reference's: we run our own
+1-D k-means (seed 42) where the reference uses sklearn KMeans
+random_state=3407 (data/bucket.py:106) — a deliberate design choice
+(no sklearn dependency), same clustering objective.
 """
 from __future__ import annotations
 

@@ -119,9 +119,18 @@ class TextImagePairDataset:
         img = img.resize((nw, nh)).crop((x0, y0, x0 + tw, y0 + th))
         return to_model_input(img), crop_info
 
+    # multi-host: each process loads only its stride slice of the global
+    # batch (torch DistributedSampler indices[rank::world] semantics,
+    # reference train_ac.py:319); shard_batch reassembles the global array
+    # from per-host shards. Defaults = single host, full batch.
+    host_rank: int = 0
+    host_count: int = 1
+
     def get_batch(self, bi: int, epoch: int = 0, step_seed: int = 0
                   ) -> Dict[str, np.ndarray]:
         idx, size = self.bucket[bi]
+        if self.host_count > 1:
+            idx = list(idx)[self.host_rank::self.host_count]
         rng = np.random.default_rng((epoch * 1_000_003 + step_seed * 7919 + bi))
         w, h = size
         lw, lh = w // self.vae_scale, h // self.vae_scale

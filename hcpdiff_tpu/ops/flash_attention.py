@@ -154,6 +154,188 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
+LN2 = 0.6931471805599453
+
+
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
+                      l_ref, *, block_k: int, seq_k: int, scale: float,
+                      causal: bool, block_q: int, use_exp2: bool,
+                      p_bf16: bool):
+    """Forward that also emits the natural-log row logsumexp (for the
+    fused Pallas backward)."""
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                  block_k=block_k, seq_k=seq_k, scale=scale, causal=causal,
+                  block_q=block_q, use_exp2=use_exp2, p_bf16=p_bf16)
+    m = m_ref[:, 0]
+    l = jnp.maximum(l_ref[:, 0], 1e-20)
+    # exp2 mode tracks the max in log2 units of the scaled logits:
+    # sum(exp(s_nat)) = l * 2^m  ->  lse = ln l + m ln 2
+    lse = jnp.log(l) + m * (LN2 if use_exp2 else 1.0)
+    lse_ref[0, 0] = lse[:, None]
+
+
+def _flash_forward_lse(q, k, v, causal, scale, block_q=DEFAULT_BLOCK_Q,
+                       block_k=DEFAULT_BLOCK_K):
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    block_q = _pick_block(Sq, block_q)
+    block_k = _pick_block(Sk, block_k)
+    use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
+    kernel = functools.partial(_flash_kernel_lse, block_k=block_k, seq_k=Sk,
+                               scale=scale, causal=causal, block_q=block_q,
+                               use_exp2=use_exp2, p_bf16=False)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, H, Sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+    )(q, k, v)
+    return o, lse
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, block_k: int, seq_k: int, scale: float,
+                         causal: bool, block_q: int):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)                 # [BQ, D]
+    do = do_ref[0, 0].astype(jnp.float32)               # [BQ, D]
+    lse = lse_ref[0, 0]                                 # [BQ, 1]
+    delta = delta_ref[0, 0]                             # [BQ, 1]
+    num_k = seq_k // block_k
+    acc = jnp.zeros_like(q)
+
+    def body(ki, acc):
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal:
+            q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        p = jnp.exp(s - lse)                             # [BQ, BK]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    if causal:
+        upper = jnp.minimum(num_k, (qi + 1) * block_q // block_k + 1)
+        acc = jax.lax.fori_loop(0, upper, body, acc)
+    else:
+        acc = jax.lax.fori_loop(0, num_k, body, acc)
+    dq_ref[0, 0] = acc.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, block_q: int, seq_q: int,
+                          scale: float, causal: bool, block_k: int):
+    ki = pl.program_id(2)
+    k = k_ref[0, 0].astype(jnp.float32)                 # [BK, D]
+    v = v_ref[0, 0].astype(jnp.float32)                 # [BK, D]
+    num_q = seq_q // block_q
+    dk = jnp.zeros_like(k)
+    dv = jnp.zeros_like(v)
+
+    def body(qi, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal:
+            q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        p = jnp.exp(s - lse)                             # [BQ, BK]
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    if causal:
+        lower = (ki * block_k) // block_q
+        dk, dv = jax.lax.fori_loop(lower, num_q, body, (dk, dv))
+    else:
+        dk, dv = jax.lax.fori_loop(0, num_q, body, (dk, dv))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, g, causal, scale,
+                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+    """Fused Pallas dq/dk/dv with in-kernel recompute — replaces the XLA
+    vjp that materialized the full S^2 attention matrix (VERDICT.md weak
+    item 2; ~4.3GB/layer at SD1.5 level 0)."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    block_q = _pick_block(Sq, block_q)
+    block_k = _pick_block(Sk, block_k)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)                       # [B,H,Sq,1]
+
+    blk_q_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)
+    full_q_spec = pl.BlockSpec((1, 1, Sq, D), lambda b, h, i: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM)
+    full_k_spec = pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM)
+    blk_k_spec = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)
+    blk_q1_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM)
+    full_q1_spec = pl.BlockSpec((1, 1, Sq, 1), lambda b, h, i: (b, h, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, seq_k=Sk,
+                          scale=scale, causal=causal, block_q=block_q),
+        grid=(B, H, Sq // block_q),
+        in_specs=[blk_q_spec, full_k_spec, full_k_spec, blk_q_spec,
+                  blk_q1_spec, blk_q1_spec],
+        out_specs=blk_q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, seq_q=Sq,
+                          scale=scale, causal=causal, block_k=block_k),
+        grid=(B, H, Sk // block_k),
+        in_specs=[full_q_spec, blk_k_spec, blk_k_spec, full_q_spec,
+                  full_q1_spec, full_q1_spec],
+        out_specs=[blk_k_spec, blk_k_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, H, Sk, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, Sk, D), v.dtype)],
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
 def _xla_reference(q, k, v, causal, scale):
     logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
@@ -172,17 +354,25 @@ def _make_flash(causal: bool, scale: Optional[float]):
     nondiff_argnums breaks under jax.remat (flax grad checkpointing), so
     statics are baked into a cached function instead."""
 
+    use_pallas_bwd = os.environ.get('HCP_FLASH_BWD', 'pallas') == 'pallas'
+
     @jax.custom_vjp
     def fn(q, k, v):
         s = (q.shape[-1] ** -0.5) if scale is None else scale
         return _flash_forward(q, k, v, causal, s)
 
     def fwd(q, k, v):
-        return fn(q, k, v), (q, k, v)
+        s = (q.shape[-1] ** -0.5) if scale is None else scale
+        if use_pallas_bwd:
+            o, lse = _flash_forward_lse(q, k, v, causal, s)
+            return o, (q, k, v, o, lse)
+        return fn(q, k, v), (q, k, v, None, None)
 
     def bwd(res, g):
-        q, k, v = res
+        q, k, v, o, lse = res
         s = (q.shape[-1] ** -0.5) if scale is None else scale
+        if use_pallas_bwd and o is not None:
+            return _flash_backward(q, k, v, o, lse, g, causal, s)
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _xla_reference(q_, k_, v_, causal, s), q, k, v)
         return vjp(g)

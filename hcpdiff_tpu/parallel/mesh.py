@@ -42,15 +42,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a host batch with the leading axis split over 'data'.
-    Scalars and non-divisible leaves are replicated."""
+    Scalars and non-divisible leaves are replicated.
+
+    Multi-host: leaves are expected to be this host's slice of the global
+    batch (datasets slice per host, data/dataset.py get_batch); the global
+    array is assembled from per-process shards without gathering."""
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
     n = mesh.shape['data']
+    nproc = jax.process_count()
+    n_local = max(n // nproc, 1)
 
     def put(x):
         x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
-            return jax.device_put(x, sh)
+        if x.ndim >= 1 and x.shape[0] > 0:
+            if nproc > 1 and x.shape[0] % n_local == 0:
+                import numpy as _np
+                return jax.make_array_from_process_local_data(
+                    sh, _np.asarray(x))
+            if x.shape[0] % n == 0:
+                return jax.device_put(x, sh)
         return jax.device_put(x, rep)
 
     return jax.tree_util.tree_map(put, batch)

@@ -274,6 +274,10 @@ class Trainer:
             loss_weight=float(ds_cfg.get('loss_weight', 1.0)),
             dream_artist=da, with_crop_info=with_crop)
         ds.build(bs, world_size=1)
+        if jax.process_count() > 1:
+            # each host loads only its slice of the global batch
+            ds.host_rank = jax.process_index()
+            ds.host_count = jax.process_count()
         if ds_cfg.get('cache_latents', False):
             encode = jax.jit(lambda x: self.vae.apply(
                 {'params': self.vae_params}, x, method='encode')[0]

@@ -186,3 +186,36 @@ def test_datagroup_cycles(img_dir):
     it = iter(group)
     seen = [next(it) for _ in range(len(ds) + 2)]  # crosses an epoch boundary
     assert all(isinstance(b, list) and len(b) == 1 for b in seen)
+
+
+def test_host_sliced_batches(tmp_path):
+    """Multi-host data loading: each host's stride slice unions to the full
+    batch with no overlap (torch DistributedSampler semantics)."""
+    import json
+    import numpy as np
+    from PIL import Image
+    from hcpdiff_tpu.data.buckets import FixedBucket
+    from hcpdiff_tpu.data.dataset import TextImagePairDataset
+    from hcpdiff_tpu.data.sources import Text2ImageSource
+
+    imgs = tmp_path / 'imgs'
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(imgs / f'i{i}.png')
+    src = Text2ImageSource(str(imgs))
+    ds = TextImagePairDataset(src, FixedBucket(32))
+    ds.build(4, world_size=1)
+
+    full = ds.get_batch(0)
+    parts = []
+    for rank in range(2):
+        ds.host_rank, ds.host_count = rank, 2
+        b = ds.get_batch(0)
+        assert b['images'].shape[0] == 2  # bs 4 / 2 hosts
+        parts.append(b['images'])
+    ds.host_rank, ds.host_count = 0, 1
+    merged = np.empty_like(full['images'])
+    merged[0::2], merged[1::2] = parts[0], parts[1]
+    np.testing.assert_array_equal(merged, full['images'])

@@ -66,13 +66,72 @@ def test_flash_gradients():
     v = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 256, 32))
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v) ** 2)
+        return jnp.sum(flash_attention(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(_xla_reference(q, k, v, False, 32 ** -0.5) ** 2)
 
-    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_pallas_backward_matches_xla():
+    """Fused Pallas dq/dk/dv (recompute-in-kernel) vs XLA reference grads,
+    incl. multi-block and non-dividing block sizes."""
+    for (Sq, D) in ((256, 32), (512, 40)):
+        q = jax.random.normal(jax.random.PRNGKey(1), (1, 2, Sq, D))
+        k = jax.random.normal(jax.random.PRNGKey(2), (1, 2, Sq, D))
+        v = jax.random.normal(jax.random.PRNGKey(3), (1, 2, Sq, D))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        from hcpdiff_tpu.ops.flash_attention import _xla_reference
+        def loss_ref(q, k, v):
+            return jnp.sum(_xla_reference(q, k, v, False, D ** -0.5) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, 'qkv'):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, err_msg=f'd{name} S={Sq}')
+
+
+def test_flash_pallas_backward_causal():
+    q = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 256, 32))
+    k = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 256, 32))
+    v = jax.random.normal(jax.random.PRNGKey(6), (1, 1, 256, 32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    from hcpdiff_tpu.ops.flash_attention import _xla_reference
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_reference(q, k, v, True, 32 ** -0.5) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg='d' + name)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='interpret-mode pallas cannot run under remat '
+                           '(callback effects); validated on real TPU')
+def test_flash_backward_under_remat():
+    """custom_vjp + Pallas bwd must survive jax.remat (flax grad ckpt) —
+    the round-1 failure mode was nondiff_argnums breaking under remat."""
+    q = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 256, 32))
+
+    def f(q):
+        return jnp.sum(flash_attention(q, q, q) ** 2)
+
+    g1 = jax.grad(f)(q)
+    g2 = jax.grad(jax.remat(f))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
