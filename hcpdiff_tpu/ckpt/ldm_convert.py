@@ -201,9 +201,60 @@ def te_ldm_to_diffusers(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             if k.startswith(TE_LDM_PREFIX)}
 
 
+def is_sd2_checkpoint(sd: Dict[str, np.ndarray]) -> bool:
+    """SD2.x ships an open_clip text tower (combined qkv in_proj)."""
+    return any(k.startswith(TE_LDM_PREFIX_V2 + 'transformer.resblocks.')
+               for k in sd)
+
+
+def te_openclip_to_diffusers(sd: Dict[str, np.ndarray]
+                             ) -> Dict[str, np.ndarray]:
+    """SD2.x open_clip text tower -> transformers CLIPTextModel keys
+    (reference tools/sd2diffusers.py convert_ldm_clip_checkpoint_0_18
+    capability; independent programmatic mapping). The combined
+    attn.in_proj_{weight,bias} splits into q/k/v projections."""
+    pre = TE_LDM_PREFIX_V2
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if not k.startswith(pre):
+            continue
+        k = k[len(pre):]
+        if k == 'token_embedding.weight':
+            out['text_model.embeddings.token_embedding.weight'] = v
+        elif k == 'positional_embedding':
+            out['text_model.embeddings.position_embedding.weight'] = v
+        elif k.startswith('ln_final.'):
+            out['text_model.final_layer_norm.' + k.split('.', 1)[1]] = v
+        elif k.startswith('transformer.resblocks.'):
+            rest = k[len('transformer.resblocks.'):]
+            i, sub = rest.split('.', 1)
+            base = f'text_model.encoder.layers.{i}.'
+            if sub.startswith('ln_1.'):
+                out[base + 'layer_norm1.' + sub.split('.', 1)[1]] = v
+            elif sub.startswith('ln_2.'):
+                out[base + 'layer_norm2.' + sub.split('.', 1)[1]] = v
+            elif sub.startswith('mlp.c_fc.'):
+                out[base + 'mlp.fc1.' + sub.split('.')[-1]] = v
+            elif sub.startswith('mlp.c_proj.'):
+                out[base + 'mlp.fc2.' + sub.split('.')[-1]] = v
+            elif sub in ('attn.in_proj_weight', 'attn.in_proj_bias'):
+                kind = sub.rsplit('_', 1)[1]  # weight | bias
+                q, kk, vv = np.split(v, 3, axis=0)
+                out[base + f'self_attn.q_proj.{kind}'] = q
+                out[base + f'self_attn.k_proj.{kind}'] = kk
+                out[base + f'self_attn.v_proj.{kind}'] = vv
+            elif sub.startswith('attn.out_proj.'):
+                out[base + 'self_attn.out_proj.' + sub.split('.')[-1]] = v
+        # text_projection / logit_scale: CLIP-contrastive heads, unused by
+        # the SD2 conditioning path — dropped (reference does the same)
+    return out
+
+
 def split_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
     """One webui .ckpt/.safetensors -> {'unet', 'vae', 'text_encoder'}
-    diffusers-format dicts."""
+    diffusers-format dicts (SD1.x and SD2.x text towers auto-detected)."""
+    te = (te_openclip_to_diffusers(sd) if is_sd2_checkpoint(sd)
+          else te_ldm_to_diffusers(sd))
     return {'unet': unet_ldm_to_diffusers(sd),
             'vae': vae_ldm_to_diffusers(sd),
-            'text_encoder': te_ldm_to_diffusers(sd)}
+            'text_encoder': te}

@@ -288,11 +288,18 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
+DEFAULT_BWD_BLOCK = int(os.environ.get('HCP_FLASH_BWD_BLOCK', '512'))
+
+
 def _flash_backward(q, k, v, o, lse, g, causal, scale,
-                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+                    block_q=DEFAULT_BWD_BLOCK, block_k=DEFAULT_BWD_BLOCK):
     """Fused Pallas dq/dk/dv with in-kernel recompute — replaces the XLA
     vjp that materialized the full S^2 attention matrix (VERDICT.md weak
-    item 2; ~4.3GB/layer at SD1.5 level 0)."""
+    item 2; ~4.3GB/layer at SD1.5 level 0).
+
+    Backward blocks default to 512 (not the forward's 1024): the kernels
+    keep four [BQ,BK] fp32 intermediates (s, p, dp, ds) live, and 4x4MB
+    blows the 16MB scoped-VMEM limit."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     block_q = _pick_block(Sq, block_q)

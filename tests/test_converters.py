@@ -109,3 +109,46 @@ def test_webui_manager_loads_single_file(tmp_path):
     assert set(parts) == {'unet', 'vae', 'text_encoder'}
     assert set(parts['unet']) == set(sd)
     assert 'text_model.embeddings.token_embedding.weight' in parts['text_encoder']
+
+
+def test_openclip_te_conversion_roundtrip():
+    """SD2.x open_clip text tower -> transformers CLIPTextModel keys:
+    combined in_proj splits into q/k/v; layer/embedding names map."""
+    import numpy as np
+    from hcpdiff_tpu.ckpt.ldm_convert import (is_sd2_checkpoint,
+                                              te_openclip_to_diffusers)
+    D = 8
+    rng = np.random.default_rng(0)
+    pre = 'cond_stage_model.model.'
+    sd = {
+        pre + 'token_embedding.weight': rng.normal(size=(10, D)),
+        pre + 'positional_embedding': rng.normal(size=(77, D)),
+        pre + 'ln_final.weight': np.ones(D), pre + 'ln_final.bias': np.zeros(D),
+        pre + 'text_projection': rng.normal(size=(D, D)),
+        pre + 'logit_scale': np.asarray(1.0),
+    }
+    for i in range(2):
+        b = pre + f'transformer.resblocks.{i}.'
+        sd.update({
+            b + 'ln_1.weight': np.ones(D), b + 'ln_1.bias': np.zeros(D),
+            b + 'ln_2.weight': np.ones(D), b + 'ln_2.bias': np.zeros(D),
+            b + 'attn.in_proj_weight': rng.normal(size=(3 * D, D)),
+            b + 'attn.in_proj_bias': rng.normal(size=(3 * D,)),
+            b + 'attn.out_proj.weight': rng.normal(size=(D, D)),
+            b + 'attn.out_proj.bias': rng.normal(size=(D,)),
+            b + 'mlp.c_fc.weight': rng.normal(size=(4 * D, D)),
+            b + 'mlp.c_fc.bias': rng.normal(size=(4 * D,)),
+            b + 'mlp.c_proj.weight': rng.normal(size=(D, 4 * D)),
+            b + 'mlp.c_proj.bias': rng.normal(size=(D,)),
+        })
+    assert is_sd2_checkpoint(sd)
+    out = te_openclip_to_diffusers(sd)
+    assert 'text_model.embeddings.token_embedding.weight' in out
+    assert 'text_model.final_layer_norm.weight' in out
+    w = sd[pre + 'transformer.resblocks.0.attn.in_proj_weight']
+    np.testing.assert_array_equal(
+        out['text_model.encoder.layers.0.self_attn.q_proj.weight'], w[:D])
+    np.testing.assert_array_equal(
+        out['text_model.encoder.layers.0.self_attn.v_proj.weight'], w[2 * D:])
+    assert 'text_projection' not in out  # contrastive head dropped
+    assert out['text_model.encoder.layers.1.mlp.fc1.weight'].shape == (4 * D, D)
