@@ -201,3 +201,47 @@ def test_workflow_load_plugin_actions(tmp_path):
     out_removed = memory['unet_apply'](memory['unet_params'], x, t, ctx,
                                        cond=cond)
     np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_removed))
+
+
+def test_controlnet_workflow_graph(tmp_path):
+    """The shipped text2img_controlnet workflow graph runs end-to-end on
+    tiny models (tiny plugin ckpt + cond image substituted via CLI-style
+    overrides)."""
+    import math
+    import numpy as np
+    from PIL import Image
+    import jax
+    import jax.numpy as jnp
+    from hcpdiff_tpu.config import load
+    from hcpdiff_tpu.ckpt.manager import CkptManagerSafe
+    from hcpdiff_tpu.models.controlnet import ControlNet
+    from hcpdiff_tpu.models.factory import build_models
+    from hcpdiff_tpu.workflow import WorkflowRunner
+
+    world = build_models('tiny', dtype=jnp.float32)
+    lat = 2 ** (len(world['vae_cfg'].block_out_channels) - 1)
+    cn = ControlNet(world['unet_cfg'], dtype=jnp.float32,
+                    cond_stages=int(math.log2(lat)))
+    cn_params = cn.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 8, 4)), jnp.array([0]),
+                        jnp.zeros((1, 77, world['unet_cfg'].cross_attention_dim)),
+                        jnp.zeros((1, 8 * lat, 8 * lat, 3)))['params']
+    ck = str(tmp_path / 'plugin.safetensors')
+    CkptManagerSafe().save_plugins(ck, {'controlnet1': jax.device_get(cn_params)})
+    cond = str(tmp_path / 'cond.png')
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(cond)
+
+    cfg = load('cfgs/workflow/text2img_controlnet.yaml', [
+        f'memory.plugin_path={ck}', f'memory.cond_image={cond}',
+        'prepare.0.pretrained_model=tiny', 'prepare.0.dtype=fp32',
+        'actions.3.N_steps=2', 'actions.3.sampler=euler',
+        'actions.4.width=32', 'actions.4.height=32',
+        ("actions.5.prog=import hcpdiff_tpu.data.processor as _p; "
+         "states['cond'] = _p.ControlNetProcessor(memory['cond_image'])"
+         "(32, 32, 1)"),
+        f'actions.8.save_root={tmp_path}/out/',
+    ])
+    runner = WorkflowRunner(cfg)
+    runner.start()
+    import os
+    assert any(f.endswith('.png') for f in os.listdir(tmp_path / 'out'))

@@ -184,3 +184,23 @@ def test_sdxl_time_ids_affect_loss(sdxl_proj):
     l0, l1 = run(0.0), run(512.0)
     assert np.isfinite(l0) and np.isfinite(l1)
     assert abs(l0 - l1) > 1e-8  # conditioning is not constant-folded away
+
+
+def test_sdxl_visualizer_e2e(tmp_path):
+    """SDXL inference through the Visualizer with the tiny_sdxl world:
+    dual-TE encode, pooled/time_ids conditioning, image out."""
+    from hcpdiff_tpu.config import containerize
+    from hcpdiff_tpu.infer.visualizer import Visualizer
+    cfg = containerize({
+        'pretrained_model': 'tiny_sdxl', 'dtype': 'fp32',
+        'prompt': 'a photo of cat', 'neg_prompt': 'dog',
+        'seed': 3, 'bs': 1, 'output_dir': str(tmp_path / 'o'),
+        'infer_args': {'width': 32, 'height': 32, 'inference_steps': 2,
+                       'sampler': 'euler'},
+        'interface': [],
+    })
+    v = Visualizer(cfg)
+    assert v.sdxl
+    imgs = v.vis_images('a photo of cat')
+    assert imgs.shape == (1, 32, 32, 3)
+    assert np.isfinite(imgs).all()
