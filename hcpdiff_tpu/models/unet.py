@@ -19,6 +19,7 @@ One config class covers all three model families plus tiny test models.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -201,11 +202,21 @@ class Transformer2D(nn.Module):
         B, H, W, C = x.shape
         residual = x
         h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name='norm')(x)
-        h = _dense(self.channels, self.dtype, 'proj_in')(h.reshape(B, H * W, C))
+        if os.environ.get('HCP_TFM_4D', '0') == '1':
+            # layout experiment: run proj_in/proj_out on the NHWC tensor so
+            # the conv<->sequence relayout happens inside the projection
+            # fusion instead of as a standalone reshape copy
+            h = _dense(self.channels, self.dtype, 'proj_in')(h)
+            h = h.reshape(B, H * W, C)
+        else:
+            h = _dense(self.channels, self.dtype, 'proj_in')(h.reshape(B, H * W, C))
         for i in range(self.depth):
             h = BasicTransformerBlock(self.channels, self.heads, self.context_dim,
                                       dtype=self.dtype,
                                       name=f'transformer_blocks_{i}')(h, context, context_bias)
+        if os.environ.get('HCP_TFM_4D', '0') == '1':
+            h = _dense(self.channels, self.dtype, 'proj_out')(h.reshape(B, H, W, C))
+            return h + residual
         h = _dense(self.channels, self.dtype, 'proj_out')(h)
         return h.reshape(B, H, W, C) + residual
 
