@@ -258,3 +258,57 @@ def split_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict[str, np.nd
     return {'unet': unet_ldm_to_diffusers(sd),
             'vae': vae_ldm_to_diffusers(sd),
             'text_encoder': te}
+
+
+CONTROL_LDM_PREFIX = 'control_model.'
+
+
+def controlnet_ldm_to_ours(sd: Dict[str, np.ndarray], unet_cfg=None):
+    """webui/LDM ControlNet ckpt ('control_model.*') -> our flax ControlNet
+    param tree (models/controlnet.py) for drop-in plugin interop with
+    reference-trained ControlNets (reference converts via
+    tools/sd2diffusers.py convert_controlnet).
+
+    The shared down/mid submodules reuse the unet LDM->diffusers module map
+    and the diffusers->flax converter; zero convs and the conditioning
+    ('input_hint_block') convs map positionally — our
+    ControlNetConditioningEmbedding has the identical conv ladder
+    (3->16->16->32->32->96->96->256->C0)."""
+    from .sd_convert import unet_torch_to_params, _set
+    from ..models.unet import UNetConfig
+    unet_cfg = unet_cfg or UNetConfig.sd15()
+
+    body = {k[len(CONTROL_LDM_PREFIX):]: v for k, v in sd.items()
+            if k.startswith(CONTROL_LDM_PREFIX)}
+    # shared submodules: ldm names -> diffusers names (up-block entries in
+    # the map simply find no keys) -> flax
+    mod_map = unet_ldm_to_diffusers_map(
+        len(unet_cfg.block_out_channels), unet_cfg.layers_per_block,
+        tuple('CrossAttn' in t for t in unet_cfg.down_block_types))
+    dif = _convert_by_module_map(
+        {UNET_LDM_PREFIX + k: v for k, v in body.items()},
+        mod_map, UNET_LDM_PREFIX)
+    params = unet_torch_to_params(dif, unet_cfg)
+
+    def put_conv(dst: str, w: np.ndarray, b: np.ndarray):
+        _set(params, dst + '.kernel', w.transpose(2, 3, 1, 0))
+        _set(params, dst + '.bias', b)
+
+    n_zero = 0
+    while f'zero_convs.{n_zero}.0.weight' in body:
+        put_conv(f'zero_{n_zero}',
+                 body[f'zero_convs.{n_zero}.0.weight'],
+                 body[f'zero_convs.{n_zero}.0.bias'])
+        n_zero += 1
+    if 'middle_block_out.0.weight' in body:
+        put_conv('zero_mid', body['middle_block_out.0.weight'],
+                 body['middle_block_out.0.bias'])
+    # hint block convs sit at even indices (SiLU between)
+    hint_targets = ['cond_embedding.conv_in'] + \
+        [f'cond_embedding.blocks_{i}' for i in range(6)] + \
+        ['cond_embedding.conv_out']
+    for i, tgt in enumerate(hint_targets):
+        wk = f'input_hint_block.{2 * i}.weight'
+        if wk in body:
+            put_conv(tgt, body[wk], body[f'input_hint_block.{2 * i}.bias'])
+    return params

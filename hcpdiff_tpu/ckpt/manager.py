@@ -97,9 +97,11 @@ class CkptManagerBase:
                 sd[f'{host}{PLACEHOLDER}{pkey.replace(":", ".")}'] = np.asarray(v)
         self._write(sd, path)
 
-    def load_plugins(self, path: str) -> Dict[str, Any]:
+    def load_plugins(self, path: str, unet_cfg=None) -> Dict[str, Any]:
         """-> {plugin_slot: nested param tree} from a ``.___.``-keyed plugin
-        ckpt (reference load_plugin semantics, cfg_net_tools.py:294-315)."""
+        ckpt (reference load_plugin semantics, cfg_net_tools.py:294-315).
+        webui ControlNet ckpts ('control_model.*' keys) are converted via
+        ldm_convert.controlnet_ldm_to_ours for drop-in interop."""
         flat = self._read(path)
         grouped: Dict[str, Dict[str, np.ndarray]] = {}
         for k, v in flat.items():
@@ -107,6 +109,9 @@ class CkptManagerBase:
                 continue
             host, pkey = k.split(PLACEHOLDER, 1)
             grouped.setdefault(host, {})[pkey.replace('.', ':')] = v
+        if not grouped and any(k.startswith('control_model.') for k in flat):
+            from .ldm_convert import controlnet_ldm_to_ours
+            return {'controlnet1': controlnet_ldm_to_ours(flat, unet_cfg)}
         return {h: fold_dict(d, sep=':') for h, d in grouped.items()}
 
     def save_embedding(self, path: str, vectors, name: str,

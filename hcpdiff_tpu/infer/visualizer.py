@@ -275,7 +275,8 @@ class Visualizer:
                                   load_ema=load_ema)
                 # plugin state (ControlNet): reference cfg_net_tools.py:294-315
                 for pname, item in dict(group.get('plugin') or {}).items():
-                    states = auto_manager(item['path']).load_plugins(item['path'])
+                    states = auto_manager(item['path']).load_plugins(
+                        item['path'], unet_cfg=world['unet_cfg'])
                     st = states.get(pname)
                     if st is None and states:
                         st = next(iter(states.values()))

@@ -202,10 +202,10 @@ class Transformer2D(nn.Module):
         B, H, W, C = x.shape
         residual = x
         h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name='norm')(x)
-        if os.environ.get('HCP_TFM_4D', '0') == '1':
-            # layout experiment: run proj_in/proj_out on the NHWC tensor so
-            # the conv<->sequence relayout happens inside the projection
-            # fusion instead of as a standalone reshape copy
+        if os.environ.get('HCP_TFM_4D', '1') == '1':
+            # run proj_in/proj_out on the NHWC tensor so the conv<->sequence
+            # relayout happens inside the projection fusion instead of as a
+            # standalone reshape copy (measured -93ms on the 20-step loop)
             h = _dense(self.channels, self.dtype, 'proj_in')(h)
             h = h.reshape(B, H * W, C)
         else:
@@ -214,7 +214,7 @@ class Transformer2D(nn.Module):
             h = BasicTransformerBlock(self.channels, self.heads, self.context_dim,
                                       dtype=self.dtype,
                                       name=f'transformer_blocks_{i}')(h, context, context_bias)
-        if os.environ.get('HCP_TFM_4D', '0') == '1':
+        if os.environ.get('HCP_TFM_4D', '1') == '1':
             h = _dense(self.channels, self.dtype, 'proj_out')(h.reshape(B, H, W, C))
             return h + residual
         h = _dense(self.channels, self.dtype, 'proj_out')(h)

@@ -128,7 +128,8 @@ class LoadPluginAction(BasicAction, MemoryMixin):
         import math
         from ..ckpt.manager import auto_manager
         from ..models.controlnet import ControlNet
-        all_states = auto_manager(self.path).load_plugins(self.path)
+        all_states = auto_manager(self.path).load_plugins(
+            self.path, unet_cfg=memory['unet_cfg'])
         st = all_states.get(self.name)
         if st is None and all_states:
             st = next(iter(all_states.values()))

@@ -152,3 +152,66 @@ def test_openclip_te_conversion_roundtrip():
         out['text_model.encoder.layers.0.self_attn.v_proj.weight'], w[2 * D:])
     assert 'text_projection' not in out  # contrastive head dropped
     assert out['text_model.encoder.layers.1.mlp.fc1.weight'].shape == (4 * D, D)
+
+
+def test_controlnet_ldm_roundtrip():
+    """webui control_model.* ckpt -> our flax ControlNet params: shared
+    submodules via the unet maps, zero convs + hint block positionally."""
+    import math
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hcpdiff_tpu.models.controlnet import ControlNet
+    from hcpdiff_tpu.models.unet import UNetConfig
+    from hcpdiff_tpu.ckpt.sd_convert import flax_to_torch, _unet_key_map
+    from hcpdiff_tpu.ckpt.ldm_convert import (UNET_LDM_PREFIX,
+                                              _convert_by_module_map,
+                                              controlnet_ldm_to_ours,
+                                              unet_ldm_to_diffusers_map)
+
+    cfg = UNetConfig.tiny()
+    cn = ControlNet(cfg, dtype=jnp.float32, cond_stages=3)
+    params = cn.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                     jnp.array([0]), jnp.zeros((1, 77, 32)),
+                     jnp.zeros((1, 64, 64, 3)))['params']
+    params = jax.tree_util.tree_map(
+        lambda x: np.random.default_rng(0).normal(size=x.shape).astype(np.float32),
+        jax.device_get(params))
+
+    # synthesize the webui layout from our params (inverse mapping)
+    shared = {k: v for k, v in params.items()
+              if not k.startswith(('zero_', 'cond_embedding'))}
+    dif = flax_to_torch(shared, _unet_key_map(cfg))
+    mod_map = unet_ldm_to_diffusers_map(
+        len(cfg.block_out_channels), cfg.layers_per_block,
+        tuple('CrossAttn' in t for t in cfg.down_block_types))
+    ldm = _convert_by_module_map(dif, mod_map, UNET_LDM_PREFIX, reverse=True)
+    sd = {'control_model.' + k[len(UNET_LDM_PREFIX):]: v for k, v in ldm.items()}
+    zi = 0
+    while f'zero_{zi}' in params:
+        sd[f'control_model.zero_convs.{zi}.0.weight'] = \
+            params[f'zero_{zi}']['kernel'].transpose(3, 2, 0, 1)
+        sd[f'control_model.zero_convs.{zi}.0.bias'] = params[f'zero_{zi}']['bias']
+        zi += 1
+    sd['control_model.middle_block_out.0.weight'] = \
+        params['zero_mid']['kernel'].transpose(3, 2, 0, 1)
+    sd['control_model.middle_block_out.0.bias'] = params['zero_mid']['bias']
+    ce = params['cond_embedding']
+    names = ['conv_in'] + [f'blocks_{i}' for i in range(6)] + ['conv_out']
+    for i, n in enumerate(names):
+        sd[f'control_model.input_hint_block.{2 * i}.weight'] = \
+            ce[n]['kernel'].transpose(3, 2, 0, 1)
+        sd[f'control_model.input_hint_block.{2 * i}.bias'] = ce[n]['bias']
+
+    out = controlnet_ldm_to_ours(sd, cfg)
+    flat_in, _ = jax.tree_util.tree_flatten_with_path(params)
+    missing = []
+    for path, v in flat_in:
+        node = out
+        try:
+            for part in path:
+                node = node[part.key]
+            np.testing.assert_allclose(node, v, atol=1e-6)
+        except KeyError:
+            missing.append(jax.tree_util.keystr(path))
+    assert not missing, missing[:10]
