@@ -48,6 +48,9 @@ class CLILogger(BaseLogger):
         self.logger = logging.getLogger(f'hcpdiff_tpu.{id(self)}')
         self.logger.setLevel(logging.INFO)
         self.logger.handlers.clear()
+        # don't bubble into the root logger: environments with a configured
+        # root handler would print every line twice
+        self.logger.propagate = False
         fmt = logging.Formatter('%(asctime)s | %(message)s', '%H:%M:%S')
         h = logging.StreamHandler(sys.stdout)
         h.setFormatter(fmt)
