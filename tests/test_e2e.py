@@ -227,3 +227,23 @@ def test_trainer_save_merged_pipeline(proj, tmp_path):
         node_b = node_b[part]
     assert not np.allclose(np.asarray(node_m['kernel']),
                            np.asarray(node_b['kernel']), atol=1e-7)
+
+
+def test_trainer_two_datasets_dreambooth(proj, tmp_path):
+    """DreamBooth with a regularization dataset: two datasets per step,
+    each with its own batch size / loss weight (reference DataGroup,
+    data/__init__.py:9-27 + regularization_dataset.yaml)."""
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    cfg = _train_cfg(proj, exp_dir=str(tmp_path / 'exp_db'), lora_unet=[
+        {'lr': 1e-3, 'rank': 2, 'layers': ['re:.*attn1\\.to_q$']}])
+    cfg['data']['dataset_class'] = {
+        'batch_size': 1, 'cache_latents': True, 'loss_weight': 0.5,
+        'source': {'s1': {'img_root': str(proj / 'imgs'),
+                          'caption_file': str(proj / 'imgs' / 'captions.json')}},
+        'bucket': {'_target_': 'FixedBucket', 'target_size': 32},
+    }
+    t = Trainer(cfg)
+    assert len(t.datasets) == 2
+    assert t.datasets[1].loss_weight == 0.5
+    final = t.train()
+    assert final == 3
