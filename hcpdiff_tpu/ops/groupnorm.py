@@ -82,8 +82,27 @@ def _gn_silu_xla_direct(x, scale, bias, groups, eps, apply_silu):
     (~84MB per level-0 activation, the 'convert_reduce' trace bucket). Here
     each fp32 convert has exactly one consumer, so it fuses into the reduce
     / the output elementwise and no fp32 copy is ever written."""
+    import os
     B, C = x.shape[0], x.shape[-1]
     orig_shape = x.shape
+    xf = x.reshape(B, -1, C)
+    n = xf.shape[1] * (C // groups)
+    if os.environ.get('HCP_GN_SPATIAL_FIRST', '0') == '1':
+        # reduce the spatial axis first (C stays the minor/lane dim — full
+        # lanes), then the tiny per-group channel sum; the grouped
+        # [B,S,G,C/G] reduce runs its minor dim at C/G=10 lanes
+        s1 = jnp.sum(xf, axis=1, dtype=jnp.float32)                  # [B,C]
+        s2 = jnp.sum(jax.lax.square(xf.astype(jnp.float32)), axis=1)
+        mean_g = s1.reshape(B, groups, C // groups).sum(-1) / n      # [B,G]
+        mean2_g = s2.reshape(B, groups, C // groups).sum(-1) / n
+        var_g = jnp.maximum(mean2_g - jax.lax.square(mean_g), 0.0)
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = jnp.repeat(mean_g, C // groups, axis=1)[:, None]    # [B,1,C]
+        inv_c = jnp.repeat(inv_g, C // groups, axis=1)[:, None]
+        y = (xf.astype(jnp.float32) - mean_c) * inv_c * scale + bias
+        if apply_silu:
+            y = jax.nn.silu(y)
+        return y.reshape(orig_shape).astype(x.dtype)
     xg = x.reshape(B, -1, groups, C // groups)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
     mean2 = jnp.mean(jax.lax.square(xg.astype(jnp.float32)),

@@ -686,26 +686,42 @@ class Trainer:
 
         data_iter = iter(self.data_group)
 
+        # ARB + grad accumulation: microbatches inside one scan must share
+        # shapes (XLA static shapes), so batches are grouped per bucket
+        # resolution — per-dataset queues keyed by shape signature buffer
+        # batches until grad_accum same-shape microbatches are available
+        # (the reference accumulates across arbitrary bucket batches,
+        # train_ac.py accumulate ctx; this is the static-shape equivalent).
+        pending: List[Dict[tuple, list]] = [dict() for _ in self.datasets]
+
+        def _sig(b):
+            return tuple(sorted((k, tuple(np.asarray(v).shape))
+                                for k, v in b.items()))
+
         def next_batches():
             """One (possibly accumulated) batch per dataset for this step."""
-            batch_list = [prep(b) for b in next(data_iter)]
             if self.grad_accum <= 1:
-                return batch_list
-            accum = [[b] for b in batch_list]
-            for _ in range(self.grad_accum - 1):
-                for acc, b in zip(accum, [prep(b) for b in next(data_iter)]):
-                    acc.append(b)
-            out = []
-            for micro in accum:
-                shapes = {jax.tree_util.tree_structure(m) for m in micro}
-                s0 = {tuple(np.asarray(v).shape) for v in micro[0].values()}
-                for m in micro[1:]:
-                    if {tuple(np.asarray(v).shape) for v in m.values()} != s0:
-                        raise ValueError(
-                            'gradient accumulation needs same-shape '
-                            'microbatches — use FixedBucket or num_bucket=1')
-                out.append(jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *micro))
+                return [prep(b) for b in next(data_iter)]
+            out = [None] * len(self.datasets)
+            guard = 0
+            while any(o is None for o in out):
+                guard += 1
+                if guard > 64 * self.grad_accum:
+                    raise RuntimeError(
+                        'gradient accumulation could not collect '
+                        f'{self.grad_accum} same-shape microbatches within '
+                        'a reasonable window — reduce num_bucket or '
+                        'gradient_accumulation_steps')
+                for di, b in enumerate(next(data_iter)):
+                    if out[di] is not None:
+                        continue
+                    b = prep(b)
+                    q = pending[di].setdefault(_sig(b), [])
+                    q.append(b)
+                    if len(q) == self.grad_accum:
+                        micro = pending[di].pop(_sig(b))
+                        out[di] = jax.tree_util.tree_map(
+                            lambda *xs: jnp.stack(xs), *micro)
             return out
 
         def shard(batch):

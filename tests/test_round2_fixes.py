@@ -393,3 +393,52 @@ def test_generic_make_plugin_dispatch(proj, tmp_path):
         Trainer(_train_cfg(proj, exp_dir=str(tmp_path / 'exp_plug2'),
                            plugin_unet={'bad': {
                                '_target_': 'hcpdiff_tpu.data.sources.DataSource'}}))
+
+
+def test_grad_accum_with_arb_buckets(tmp_path):
+    """ARB + gradient accumulation: microbatches are grouped per bucket
+    shape instead of raising (reference accumulates across arbitrary
+    bucket batches)."""
+    import json
+    from PIL import Image
+    from hcpdiff_tpu.trainer.trainer import Trainer
+    from hcpdiff_tpu.config import containerize
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    caps = {}
+    # two aspect ratios -> two buckets
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (64, 32, 3), dtype=np.uint8)
+                        ).save(d / f'wide_{i}.png')
+        caps[f'wide_{i}'] = 'a wide cat'
+        Image.fromarray(rng.integers(0, 255, (32, 64, 3), dtype=np.uint8)
+                        ).save(d / f'tall_{i}.png')
+        caps[f'tall_{i}'] = 'a tall cat'
+    with open(d / 'captions.json', 'w') as f:
+        json.dump(caps, f)
+    cfg = containerize({
+        'exp_dir': str(tmp_path / 'exp'), 'mixed_precision': 'fp32',
+        'seed': 1, 'ckpt_type': 'safetensors',
+        'train': {'train_steps': 2, 'save_step': 5,
+                  'gradient_accumulation_steps': 2, 'cfg_scale': '1.0',
+                  'loss': {'criterion': {'_target_': 'mse'}},
+                  'optimizer': {'_target_': 'optim.adamw'},
+                  'scheduler': {'name': 'constant', 'num_training_steps': 2}},
+        'model': {'pretrained_model_name_or_path': 'tiny',
+                  'gradient_checkpointing': False},
+        'logger': [{'_target_': 'CLILogger', 'log_step': 1}],
+        'lora_unet': [{'lr': 1e-3, 'rank': 2, 'layers': ['re:.*attn1\\.to_q$']}],
+        'data': {'dataset1': {
+            'batch_size': 2, 'cache_latents': True,
+            'source': {'s1': {'img_root': str(d),
+                              'caption_file': str(d / 'captions.json')}},
+            'bucket': {'_target_': 'hcpdiff.data.bucket.RatioBucket.from_files',
+                       'target_area': 32 * 32, 'num_bucket': 2},
+        }},
+        'tokenizer_pt': {'emb_dir': None, 'train': None},
+    })
+    t = Trainer(cfg)
+    assert len(t.datasets[0].bucket.sizes) == 2  # really two shapes
+    final = t.train()
+    assert final == 2
