@@ -56,9 +56,14 @@ class ModelMerger:
                                     self.aliases))
 
     def load_part(self, ckpt_path: str, alpha: float = 1.0,
-                  layers='all', load_ema: bool = False):
+                  layers='all', load_ema: bool = False,
+                  base_alpha: float = None):
+        """w = base_alpha*old + alpha*new (reference load_part semantics,
+        cfg_net_tools.py:233-247 with the group-level base_model_alpha);
+        base_alpha defaults to 1-alpha (a convex blend)."""
         ck = auto_manager(ckpt_path).load_ckpt(ckpt_path)
         base = (ck.get('base_ema') if load_ema else None) or ck.get('base')
+        ba = (1 - alpha) if base_alpha is None else float(base_alpha)
         if base:
             sel = self._selected(layers)
             sub = jax.tree_util.tree_map(lambda v: jnp.asarray(v), base)
@@ -73,7 +78,7 @@ class ModelMerger:
                 if sel is not None and not any(
                         mod == s or mod.startswith(s + '.') for s in sel):
                     return full
-                return full * (1 - alpha) + part * alpha
+                return full * ba + part * alpha
 
             self.params = blend(self.params, sub)
         return self
@@ -272,7 +277,8 @@ class Visualizer:
                     tgt.load_part(item['path'],
                                   alpha=float(item.get('alpha', 1.0)),
                                   layers=item.get('layers', 'all'),
-                                  load_ema=load_ema)
+                                  load_ema=load_ema,
+                                  base_alpha=group.get('base_model_alpha'))
                 # plugin state (ControlNet): reference cfg_net_tools.py:294-315
                 for pname, item in dict(group.get('plugin') or {}).items():
                     states = auto_manager(item['path']).load_plugins(

@@ -442,3 +442,50 @@ def test_grad_accum_with_arb_buckets(tmp_path):
     assert len(t.datasets[0].bucket.sizes) == 2  # really two shapes
     final = t.train()
     assert final == 2
+
+
+def test_part_base_model_alpha(tmp_path):
+    """w = base_model_alpha*old + alpha*new (reference load_part,
+    cfg_net_tools.py:233-247): base 0 + alpha 1 = full override."""
+    from tests.helpers import tiny_world
+    from hcpdiff_tpu.ckpt.manager import CkptManagerSafe
+    from hcpdiff_tpu.infer.visualizer import ModelMerger
+    world = tiny_world()
+    sub = {'conv_in': jax.tree_util.tree_map(
+        lambda x: np.full(x.shape, 2.0, np.float32),
+        jax.device_get(world['unet_params']['conv_in']))}
+    ck = str(tmp_path / 'part.safetensors')
+    CkptManagerSafe().save_model_with_lora(ck, base=sub)
+
+    m = ModelMerger(world['unet_params'], {})
+    m.load_part(ck, alpha=1.0, base_alpha=0.0)
+    np.testing.assert_allclose(np.asarray(m.params['conv_in']['bias']), 2.0)
+
+    m2 = ModelMerger(world['unet_params'], {})
+    m2.load_part(ck, alpha=1.0, base_alpha=1.0)  # old + new
+    old = np.asarray(world['unet_params']['conv_in']['bias'])
+    np.testing.assert_allclose(np.asarray(m2.params['conv_in']['bias']),
+                               old + 2.0, atol=1e-6)
+
+
+def test_new_components_scheduler_and_sampler(tmp_path):
+    """euler_a.yaml-style diffusers scheduler override maps to our sampler
+    and rebuilds the noise schedule."""
+    from hcpdiff_tpu.config import containerize
+    from hcpdiff_tpu.infer.visualizer import Visualizer
+    cfg = containerize({
+        'pretrained_model': 'tiny', 'dtype': 'fp32', 'prompt': 'cat',
+        'seed': 0, 'bs': 1, 'output_dir': str(tmp_path / 'o'),
+        'infer_args': {'width': 32, 'height': 32, 'inference_steps': 2,
+                       'sampler': 'ddim'},
+        'new_components': {'scheduler': {
+            '_target_': 'diffusers.EulerAncestralDiscreteScheduler',
+            'beta_start': 0.0005, 'beta_end': 0.02,
+            'beta_schedule': 'scaled_linear'}},
+        'interface': [],
+    })
+    v = Visualizer(cfg)
+    assert v.cfgs['infer_args']['sampler'] == 'euler_a'
+    assert abs(float(v.schedule.betas[0]) - 0.0005) < 1e-7
+    imgs = v.vis_images('cat')
+    assert np.isfinite(imgs).all()
