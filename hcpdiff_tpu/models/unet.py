@@ -130,6 +130,19 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+class _DenseKernel(nn.Module):
+    """Registers a Dense-compatible ``kernel`` param (same path, shape, and
+    lecun-normal init as ``nn.Dense(use_bias=False)``) and returns it, so
+    several projections can fuse into ONE matmul while checkpoints/LoRA
+    selectors keep seeing separate to_q/to_k/to_v weights."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          (in_features, self.features), jnp.float32)
+
+
 class CrossAttention(nn.Module):
     """to_q/to_k/to_v/to_out naming mirrors diffusers for converter parity."""
     query_dim: int
@@ -145,9 +158,27 @@ class CrossAttention(nn.Module):
         Sk = ctx.shape[1]
         h = self.heads
         d = self.query_dim // h
-        q = _dense(self.query_dim, self.dtype, 'to_q', use_bias=False)(x)
-        k = _dense(self.query_dim, self.dtype, 'to_k', use_bias=False)(ctx)
-        v = _dense(self.query_dim, self.dtype, 'to_v', use_bias=False)(ctx)
+        if os.environ.get('HCP_FUSED_QKV', '0') == '1':
+            # one matmul reads x once instead of three times (self-attn), or
+            # ctx once for k/v (cross-attn). Measured SLOWER whole-loop on
+            # v5e (2.833 vs 2.929 img/s): the fused [B,S,3C] output splits
+            # into strided slices XLA materializes as copies, losing more
+            # than the saved activation reads. Off by default; kept for
+            # re-evaluation at other shapes (HCP_FUSED_QKV=1).
+            wq = _DenseKernel(self.query_dim, name='to_q')(x.shape[-1])
+            wk = _DenseKernel(self.query_dim, name='to_k')(ctx.shape[-1])
+            wv = _DenseKernel(self.query_dim, name='to_v')(ctx.shape[-1])
+            if context is None:
+                w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+                q, k, v = jnp.split(x.astype(self.dtype) @ w, 3, axis=-1)
+            else:
+                q = x.astype(self.dtype) @ wq.astype(self.dtype)
+                wkv = jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
+                k, v = jnp.split(ctx.astype(self.dtype) @ wkv, 2, axis=-1)
+        else:
+            q = _dense(self.query_dim, self.dtype, 'to_q', use_bias=False)(x)
+            k = _dense(self.query_dim, self.dtype, 'to_k', use_bias=False)(ctx)
+            v = _dense(self.query_dim, self.dtype, 'to_v', use_bias=False)(ctx)
         q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, Sk, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, Sk, h, d).transpose(0, 2, 1, 3)

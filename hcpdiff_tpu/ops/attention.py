@@ -49,12 +49,25 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         #   S=4096 D40: ours 5.8ms vs XLA 18.7ms (3.2x)
         #   S=1024 D80: ours 0.88ms vs XLA 1.77ms (2.0x)
         #   S=256 D160: parity (0.62 vs 0.64) -> stay on XLA below 1024.
+        # Cross-attention (Sq long, Sk=77 CLIP context) measured SLOWER under
+        # the kernel (2.80 vs 2.93 img/s whole-loop): per-program DMA
+        # overhead at near-zero FLOPs loses to XLA's fused softmax path, so
+        # flash stays self-attention-only by default. HCP_FLASH_XATTN=1
+        # re-enables it for experiments (kernel supports any Sk <= block or
+        # Sk % 128 == 0; see test_flash_cross_attention_*).
         # HCP_FLASH_ATTN=1 forces flash everywhere, =0 disables.
         force = os.environ.get('HCP_FLASH_ATTN')
         threshold = {None: 1024, '1': 256, '0': 1 << 30}.get(force, 1024)
+        Sq, Sk = q.shape[-2], k.shape[-2]
+        from .flash_attention import DEFAULT_BLOCK_K
+        if os.environ.get('HCP_FLASH_XATTN', '0') == '1':
+            sk_ok = Sk % 128 == 0 or Sk <= DEFAULT_BLOCK_K
+        else:
+            sk_ok = Sk == Sq
         use_flash = (jax.default_backend() == 'tpu' and bias is None
-                     and q.shape[-2] >= threshold and q.shape[-2] == k.shape[-2]
-                     and q.shape[-2] % 128 == 0 and q.shape[-1] <= 256)
+                     and Sq >= threshold and Sq % 128 == 0 and sk_ok
+                     and (Sk == Sq or not causal)  # kernel causal mask assumes aligned seqs
+                     and q.shape[-1] <= 256)
     if use_flash:
         try:
             from .flash_attention import flash_attention

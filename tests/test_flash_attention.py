@@ -60,22 +60,73 @@ def test_pick_block():
         assert s % _pick_block(s, 1024) == 0
 
 
-def test_flash_gradients():
-    q = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 256, 32))
-    k = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 256, 32))
-    v = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 256, 32))
+def test_flash_cross_attention_short_kv():
+    # cross-attention: Sq long, Sk=77 (CLIP context) — single K/V block,
+    # Sk neither a multiple of 128 nor equal to Sq
+    out, ref = _run(B=2, H=2, Sq=256, Sk=77, D=40)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_cross_attention_gradients():
+    q = jax.random.normal(jax.random.PRNGKey(11), (1, 2, 256, 40))
+    k = jax.random.normal(jax.random.PRNGKey(12), (1, 2, 77, 40))
+    v = jax.random.normal(jax.random.PRNGKey(13), (1, 2, 77, 40))
 
     def loss_flash(q, k, v):
         return jnp.sum(flash_attention(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
-        return jnp.sum(_xla_reference(q, k, v, False, 32 ** -0.5) ** 2)
+        return jnp.sum(_xla_reference(q, k, v, False, 40 ** -0.5) ** 2)
 
     with pltpu.force_tpu_interpret_mode():
         gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(gf, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b, name in zip(gf, gr, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg='d' + name)
+
+
+def test_dispatcher_routes_cross_attention(monkeypatch):
+    """With HCP_FLASH_XATTN=1, attention() routes long-q/short-kv to flash
+    on TPU; the causal cross-shape combination must NOT route to flash
+    (kernel mask assumes aligned sequences). Default keeps cross-attn on
+    XLA (measured faster whole-loop)."""
+    monkeypatch.setenv('HCP_FLASH_XATTN', '1')
+    import hcpdiff_tpu.ops.attention as attn_mod
+
+    calls = {}
+
+    def fake_backend():
+        return 'tpu'
+
+    orig = attn_mod.jax.default_backend
+    attn_mod.jax.default_backend = fake_backend
+    try:
+        import hcpdiff_tpu.ops.flash_attention as fa
+
+        def spy(q, k, v, causal=False, scale=None):
+            calls['flash'] = True
+            return _xla_reference(q, k, v, causal,
+                                  scale or q.shape[-1] ** -0.5)
+
+        orig_flash = fa.flash_attention
+        fa.flash_attention = spy
+        try:
+            q = jnp.zeros((1, 1, 1024, 40))
+            kv = jnp.zeros((1, 1, 77, 40))
+            attn_mod.attention(q, kv, kv)
+            assert calls.pop('flash', False), 'cross-attn should use flash'
+            attn_mod.attention(q, kv, kv, causal=True)
+            assert not calls.pop('flash', False), \
+                'causal cross-shape must stay on XLA'
+            monkeypatch.setenv('HCP_FLASH_XATTN', '0')
+            attn_mod.attention(q, kv, kv)
+            assert not calls.pop('flash', False), \
+                'default keeps cross-attn on XLA'
+        finally:
+            fa.flash_attention = orig_flash
+    finally:
+        attn_mod.jax.default_backend = orig
 
 
 def test_flash_pallas_backward_matches_xla():

@@ -109,3 +109,27 @@ def test_vae_downsample_factor_matches_sd():
     params = model.init(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2))['params']
     mean, _ = model.apply({'params': params}, x, method='encode')
     assert mean.shape == (1, 8, 8, 4)  # /8 like SD
+
+
+def test_fused_qkv_matches_unfused(tiny_unet, monkeypatch):
+    """HCP_FUSED_QKV=1 (one qkv matmul, default) must produce the exact
+    param pytree and outputs of the separate to_q/to_k/to_v Dense path."""
+    cfg, model, _ = tiny_unet
+    x = jnp.ones((2, 8, 8, 4))
+    t = jnp.array([3, 5])
+    c = jnp.ones((2, 77, cfg.cross_attention_dim))
+
+    monkeypatch.setenv('HCP_FUSED_QKV', '1')
+    p1 = model.init(jax.random.PRNGKey(0), x, t, c)['params']
+    o1 = model.apply({'params': p1}, x, t, c)
+    monkeypatch.setenv('HCP_FUSED_QKV', '0')
+    p0 = model.init(jax.random.PRNGKey(0), x, t, c)['params']
+    o0 = model.apply({'params': p0}, x, t, c)
+
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat0 = dict(jax.tree_util.tree_leaves_with_path(p0))
+    assert set(dict(flat1)) == set(flat0)
+    for path, v in flat1:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat0[path]))
+    # outputs agree to fp32 reassociation noise (same math, one fused matmul)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=1e-5)
