@@ -208,6 +208,17 @@ def merge_overlays(params: Any, overlays: Sequence[PathDict],
             k = leaf['kernel']
             s = sc.get(path, 1.0) if isinstance(sc, dict) else sc
             leaf['kernel'] = k + lora_delta(entry, k.shape, s).astype(k.dtype)
+            if 'bias' in entry:
+                # pre-0.9 reference LoRA layers carry an up-projection bias
+                # (tools/convert_old_lora.py:9-10); it adds to the host bias
+                # with the same alpha/rank/scale factor as the kernel delta
+                if 'bias' not in leaf:
+                    raise ValueError(
+                        f'LoRA at {path!r} has a bias but the host layer is '
+                        'bias-free; a bias delta cannot be weight-merged')
+                rank = entry['down'].shape[-1]
+                db = entry['bias'] * (entry['alpha'] / rank) * s
+                leaf['bias'] = leaf['bias'] + db.astype(leaf['bias'].dtype)
     return merged
 
 

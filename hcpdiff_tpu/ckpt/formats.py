@@ -102,13 +102,21 @@ def lora_overlay_to_state(overlay: Dict[str, dict], host_prefix: str = '',
         sd[f'{host}{PLACEHOLDER}layer.W_down'] = np.ascontiguousarray(down_t)
         sd[f'{host}{PLACEHOLDER}layer.W_up'] = np.ascontiguousarray(up_t)
         sd[f'{host}{PLACEHOLDER}alpha'] = np.asarray(entry['alpha'], np.float32)
+        if 'bias' in entry:   # reference layer.bias (convert_old_lora.py:9-10)
+            sd[f'{host}{PLACEHOLDER}layer.bias'] = np.asarray(entry['bias'])
     return sd
 
 
 def lora_state_to_overlay(sd: Dict[str, np.ndarray], host_prefix: str = '',
                           aliases: Optional[Dict[str, str]] = None
                           ) -> Dict[str, dict]:
-    """Inverse; ``aliases`` = {flax: torch} (reversed internally)."""
+    """Inverse; ``aliases`` = {flax: torch} (reversed internally).
+
+    Accepts both the current reference layout (``layer.W_down``/``W_up``/
+    ``layer.bias``) and the pre-0.9 one (``layer.lora_down.weight``/
+    ``layer.lora_up.weight``/``layer.lora_up.bias``) — the rename the
+    reference ships as tools/convert_old_lora.py:4-13; tensor layouts are
+    identical between the two."""
     rev = {v: k for k, v in (aliases or {}).items()}
     overlay: Dict[str, dict] = {}
     for key, v in sd.items():
@@ -122,20 +130,22 @@ def lora_state_to_overlay(sd: Dict[str, np.ndarray], host_prefix: str = '',
         host = rev.get(host, host)
         e = overlay.setdefault(host, {})
         v = np.asarray(v)
-        if param.endswith('W_down'):
+        if param.endswith('W_down') or param.endswith('lora_down.weight'):
             if v.ndim == 4:   # conv: [r, cin, kh, kw] -> [kh*kw*cin, r]
                 r, cin, kh, kw = v.shape
                 e['down'] = np.ascontiguousarray(
                     v.transpose(2, 3, 1, 0).reshape(kh * kw * cin, r))
             else:
                 e['down'] = v.T
-        elif param.endswith('W_up'):
+        elif param.endswith('W_up') or param.endswith('lora_up.weight'):
             if v.ndim == 4:   # [out, r, 1, 1]
                 e['up'] = np.ascontiguousarray(v[:, :, 0, 0].T)
             else:
                 e['up'] = v.T
         elif param.endswith('alpha'):
             e['alpha'] = np.asarray(v, np.float32).reshape(())
+        elif param.endswith('bias'):   # layer.bias / layer.lora_up.bias
+            e['bias'] = v.reshape(-1)
     for host, e in overlay.items():
         e.setdefault('alpha', np.asarray(1.0, np.float32))
     return overlay

@@ -168,3 +168,61 @@ def test_conv_lora_kohya_roundtrip():
                                atol=1e-6)
     np.testing.assert_allclose(back['p.conv1']['up'], overlay['p.conv1']['up'],
                                atol=1e-6)
+
+
+def test_old_lora_state_loads():
+    """Pre-0.9 key layout (layer.lora_down.weight / lora_up.weight /
+    lora_up.bias) loads identically to the current one — reference
+    tools/convert_old_lora.py:4-13 is a pure key rename."""
+    down_t = np.random.randn(4, 8).astype(np.float32)   # [r, in]
+    up_t = np.random.randn(16, 4).astype(np.float32)    # [out, r]
+    bias = np.random.randn(16).astype(np.float32)
+    old = {'unet.to_q.___.layer.lora_down.weight': down_t,
+           'unet.to_q.___.layer.lora_up.weight': up_t,
+           'unet.to_q.___.layer.lora_up.bias': bias,
+           'unet.to_q.___.alpha': np.float32(2.0)}
+    new = {'unet.to_q.___.layer.W_down': down_t,
+           'unet.to_q.___.layer.W_up': up_t,
+           'unet.to_q.___.layer.bias': bias,
+           'unet.to_q.___.alpha': np.float32(2.0)}
+    _tree_eq(lora_state_to_overlay(old), lora_state_to_overlay(new))
+    e = lora_state_to_overlay(old)['unet.to_q']
+    assert e['down'].shape == (8, 4) and e['up'].shape == (4, 16)
+    np.testing.assert_array_equal(e['bias'], bias)
+
+
+def test_convert_old_lora_tool(tmp_path):
+    from hcpdiff_tpu.tools.convert_old_lora import convert_state
+    flat = {'lora:h.___.layer.lora_down.weight': np.zeros((4, 8), np.float32),
+            'lora:h.___.layer.lora_up.weight': np.zeros((16, 4), np.float32),
+            'lora:h.___.layer.lora_up.bias': np.zeros(16, np.float32),
+            'lora:h.___.alpha': np.float32(1.0),
+            'base:w.kernel': np.ones((2, 2), np.float32)}
+    out = convert_state(flat)
+    assert set(out) == {'lora:h.___.layer.W_down', 'lora:h.___.layer.W_up',
+                        'lora:h.___.layer.bias', 'lora:h.___.alpha',
+                        'base:w.kernel'}
+    # CLI round-trip through safetensors
+    src, dst = str(tmp_path / 'old.safetensors'), str(tmp_path / 'new.safetensors')
+    auto_manager(src)._write(flat, src)
+    import subprocess, sys
+    subprocess.run([sys.executable, '-m', 'hcpdiff_tpu.tools.convert_old_lora',
+                    src, dst], check=True)
+    re_read = auto_manager(dst)._read(dst)
+    assert 'lora:h.___.layer.W_down' in re_read
+
+
+def test_lora_bias_merge():
+    """An overlay entry with a bias folds into the host bias with the same
+    alpha/rank/scale factor as the kernel delta."""
+    from hcpdiff_tpu.adapt.overlay import merge_overlays
+    params = {'lin': {'kernel': jnp.ones((8, 16)), 'bias': jnp.zeros((16,))}}
+    entry = {'down': jnp.zeros((8, 4)), 'up': jnp.zeros((4, 16)),
+             'alpha': jnp.float32(2.0), 'bias': jnp.ones((16,))}
+    merged = merge_overlays(params, [{'lin': entry}], [{'lin': 3.0}])
+    np.testing.assert_allclose(np.asarray(merged['lin']['bias']),
+                               np.full(16, 3.0 * 2.0 / 4), atol=1e-6)
+    # host without bias -> explicit error, not silent drop
+    with pytest.raises(ValueError):
+        merge_overlays({'lin': {'kernel': jnp.ones((8, 16))}},
+                       [{'lin': entry}], [{'lin': 1.0}])
