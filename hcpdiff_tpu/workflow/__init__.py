@@ -7,6 +7,7 @@ from .actions import (LoadModelsAction, BuildModelLoaderAction, LoadLoraAction,
                       SeedAction, PrepareDiffusionAction, MakeTimestepsAction,
                       MakeLatentAction, NoisePredAction, SampleAction,
                       DiffusionStepAction, X0PredAction, EncodeAction,
-                      DecodeAction, LatentResizeAction, ImageResizeAction)
+                      DecodeAction, LatentResizeAction, ImageResizeAction,
+                      BuildPluginAction, InputFeederAction, VaeOptimizeAction)
 
 __all__ = [n for n in dir() if not n.startswith('_')]

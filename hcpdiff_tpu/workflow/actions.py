@@ -155,6 +155,74 @@ class RemovePluginAction(BasicAction, MemoryMixin):
         return states
 
 
+class BuildPluginAction(BasicAction, MemoryMixin):
+    """Build a FRESH plugin (no trained state) and hook it into unet_apply
+    (reference workflow/io.py BuildPluginAction + make_plugin). ``cfg`` may
+    be a ``_target_`` dict (generic plugin dispatch, same protocol as the
+    Trainer) or omitted for a default ControlNet initialized from the UNet
+    encoder weights."""
+
+    def __init__(self, name: str = 'controlnet1', alpha: float = 1.0,
+                 cfg: Optional[dict] = None, **kw):
+        super().__init__(**kw)
+        self.name, self.alpha, self.cfg = name, float(alpha), cfg
+
+    def __call__(self, memory=None, **states):
+        from ..config.instantiate import locate
+        from ..models.controlnet import build_controlnet
+        vae_scale = 2 ** (len(memory['vae_cfg'].block_out_channels) - 1)
+        spec = dict(self.cfg or {})
+        tgt = str(spec.pop('_target_', ''))
+        spec.pop('_partial_', None)
+        builder = None
+        if tgt:
+            try:
+                builder = getattr(locate(tgt), 'from_unet', None)
+            except Exception:
+                builder = None
+        if builder is None:
+            builder = build_controlnet   # default, as the Trainer does
+        plugin, params = builder(jax.random.PRNGKey(0), memory['unet_cfg'],
+                                 memory['unet_params'], vae_scale=vae_scale,
+                                 **spec)
+        memory.setdefault('unet_apply_base', memory['unet_apply'])
+        memory.setdefault('plugins', {})[self.name] = (plugin, params, self.alpha)
+        memory['unet_apply'] = _plugin_unet_apply(memory)
+        return states
+
+
+class InputFeederAction(BasicAction, MemoryMixin):
+    """Feed extra inputs (ControlNet cond image...) into the diffusion
+    states (reference workflow/diffusion.py:19-31 InputFeederAction — there
+    it pushes to plugin input_feeders; here downstream NoisePredAction reads
+    ``states['cond']``). ``cond`` may be an image path / array / processor
+    ``_target_`` dict."""
+
+    def __init__(self, ex_inputs: Dict[str, Any], width: int = 512,
+                 height: int = 512, **kw):
+        super().__init__(**kw)
+        self.ex_inputs = ex_inputs
+        self.w, self.h = int(width), int(height)
+
+    def __call__(self, memory=None, bs: int = 1, **states):
+        out = dict(states)
+        for key, node in self.ex_inputs.items():
+            if key == 'cond':
+                from ..config.instantiate import instantiate
+                from ..data.processor import ControlNetProcessor
+                if isinstance(node, dict):
+                    node = instantiate(node)
+                if not isinstance(node, ControlNetProcessor) and not hasattr(node, 'ndim'):
+                    node = ControlNetProcessor(node)
+                if isinstance(node, ControlNetProcessor):
+                    node = node(width=self.w, height=self.h, batch_size=bs)
+                out['cond'] = jnp.asarray(node)
+            else:
+                out[key] = node
+        out['bs'] = bs
+        return out
+
+
 class SaveImageAction(BasicAction):
     def __init__(self, save_root: str = 'output/', image_type: str = 'png', **kw):
         super().__init__(**kw)
@@ -320,11 +388,36 @@ class EncodeAction(BasicAction, MemoryMixin):
         return {'latents': lat, 'rng': rng, **states}
 
 
+class VaeOptimizeAction(BasicAction, MemoryMixin):
+    """VAE decode memory knobs (reference workflow/vae.py:8-23
+    VaeOptimizeAction). ``slicing`` decodes in per-sample chunks so peak
+    activation HBM is bounded by one image instead of the whole batch —
+    the TPU analog of diffusers ``enable_slicing``. Spatial ``tiling`` is
+    not supported (HBM-resident design; a 1024px decode fits v5e)."""
+
+    def __init__(self, slicing: bool = True, tiling: bool = False, **kw):
+        super().__init__(**kw)
+        if tiling:
+            raise NotImplementedError(
+                'VAE spatial tiling is not supported on the TPU backend; '
+                'use slicing (per-sample decode chunks) instead')
+        self.slicing = bool(slicing)
+
+    def __call__(self, memory=None, **states):
+        memory['vae_slicing'] = self.slicing
+        return states
+
+
 class DecodeAction(BasicAction, MemoryMixin):
     def __call__(self, memory=None, latents=None, **states):
         vae = memory['vae']
-        img = vae.apply({'params': memory['vae_params']},
-                        latents / vae.cfg.scaling_factor, method='decode')
+        dec = lambda z: vae.apply({'params': memory['vae_params']},
+                                  z / vae.cfg.scaling_factor, method='decode')
+        if memory.get('vae_slicing') and latents.shape[0] > 1:
+            img = jnp.concatenate([dec(latents[i:i + 1])
+                                   for i in range(latents.shape[0])], axis=0)
+        else:
+            img = dec(latents)
         img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1))
         return {'images': img, 'latents': latents, **states}
 

@@ -245,3 +245,61 @@ def test_controlnet_workflow_graph(tmp_path):
     runner.start()
     import os
     assert any(f.endswith('.png') for f in os.listdir(tmp_path / 'out'))
+
+
+def test_build_plugin_and_input_feeder_actions(tmp_path):
+    """BuildPluginAction creates a fresh zero-head ControlNet (inert by
+    construction) and InputFeederAction routes a cond image into states
+    (reference workflow/io.py BuildPluginAction + diffusion.py:19
+    InputFeederAction)."""
+    import numpy as np
+    from PIL import Image
+    import jax.numpy as jnp
+    from hcpdiff_tpu.workflow import (BuildPluginAction, InputFeederAction,
+                                      LoadModelsAction, RemovePluginAction)
+
+    memory = {}
+    LoadModelsAction(pretrained_model='tiny', dtype='fp32')(memory=memory)
+    lat = 2 ** (len(memory['vae_cfg'].block_out_channels) - 1)
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.array([10])
+    ctx = jnp.zeros((1, 77, memory['unet_cfg'].cross_attention_dim))
+    cond = jnp.ones((1, 8 * lat, 8 * lat, 3)) * 0.5
+    out_base = memory['unet_apply'](memory['unet_params'], x, t, ctx)
+
+    BuildPluginAction(name='cn')(memory=memory)
+    assert 'cn' in memory['plugins']
+    # zero-init heads -> fresh plugin leaves the output unchanged
+    out_fresh = memory['unet_apply'](memory['unet_params'], x, t, ctx,
+                                     cond=cond)
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_fresh),
+                               atol=1e-6)
+    RemovePluginAction(name='cn')(memory=memory)
+
+    img = str(tmp_path / 'cond.png')
+    Image.fromarray((np.ones((16, 16, 3)) * 128).astype(np.uint8)).save(img)
+    states = InputFeederAction({'cond': img, 'tag': 7}, width=8 * lat,
+                               height=8 * lat)(memory=memory, bs=2)
+    assert states['cond'].shape == (2, 8 * lat, 8 * lat, 3)
+    assert states['tag'] == 7
+
+
+def test_vae_optimize_sliced_decode():
+    """VaeOptimizeAction(slicing) chunks the decode per sample with
+    identical output (reference workflow/vae.py VaeOptimizeAction)."""
+    import numpy as np
+    import pytest
+    import jax
+    import jax.numpy as jnp
+    from hcpdiff_tpu.workflow import (DecodeAction, LoadModelsAction,
+                                      VaeOptimizeAction)
+
+    memory = {}
+    LoadModelsAction(pretrained_model='tiny', dtype='fp32')(memory=memory)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 8, 4))
+    plain = DecodeAction()(memory=memory, latents=lat)['images']
+    VaeOptimizeAction(slicing=True)(memory=memory)
+    sliced = DecodeAction()(memory=memory, latents=lat)['images']
+    np.testing.assert_allclose(plain, sliced, atol=1e-5)
+    with pytest.raises(NotImplementedError):
+        VaeOptimizeAction(tiling=True)
