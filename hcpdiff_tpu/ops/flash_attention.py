@@ -90,6 +90,109 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                    ).astype(o_ref.dtype)
 
 
+def _resident_fwd_bytes(block_q: int, block_k: int, seq_k: int, d: int,
+                        itemsize: int) -> float:
+    """Scoped-VMEM estimate for the K/V-resident forward kernel, calibrated
+    against Mosaic's own accounting (15.05M at BQ=BK=1024, Sk=4096 bf16;
+    17.67M at Sk=9216 — the 768px OOM). Softmax temporaries scale with
+    BQ*BK; K/V residency with Sk (minor dim lane-padded to 128)."""
+    lanes = -(-d // 128) * 128
+    temps = (11.2e6 * (block_q / 1024) * (block_k / 1024)
+             + 1.0e6 * (block_k / 1024) + 0.75e6 * (block_q / 1024))
+    return temps * (lanes / 128) + 2 * seq_k * lanes * itemsize
+
+_SCOPED_VMEM_BUDGET = 15.9e6
+
+
+def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref,
+                         m_ref, l_ref, *, num_k: int, scale: float,
+                         causal: bool, block_q: int, block_k: int,
+                         use_exp2: bool, emit_lse: bool):
+    """Streaming variant: grid (B, H, q-blocks, k-blocks) with the online
+    (max, sum, acc) state carried in scratch across the sequential k grid
+    dimension — only ONE [BK, D] K/V block is VMEM-resident at a time, so
+    any sequence length fits (the resident kernel caps at Sk ≈ 24k bf16;
+    S=9216 at 768px already blew the 16MB scoped limit)."""
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_scale = scale * (1.4426950408889634 if use_exp2 else 1.0)
+    expf = jnp.exp2 if use_exp2 else jnp.exp
+    q = q_ref[0, 0].astype(jnp.float32) * q_scale       # [BQ, D]
+    k = k_ref[0, 0].astype(jnp.float32)                 # [BK, D]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if causal:
+        q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+    m_prev = m_ref[:, 0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    alpha = expf(m_prev - m_cur)
+    p = expf(s - m_cur[:, None])
+    v = v_ref[0, 0].astype(jnp.float32)
+    l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1, dtype=jnp.float32)
+    acc_ref[:] = (acc_ref[:] * alpha[:, None]
+                  + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32))
+    m_ref[:, 0] = m_cur
+
+    @pl.when(ki == num_k - 1)
+    def _finish():
+        l = jnp.maximum(l_ref[:, 0], 1e-20)
+        o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
+        if emit_lse:
+            lse = jnp.log(l) + m_ref[:, 0] * (LN2 if use_exp2 else 1.0)
+            lse_ref[0, 0] = lse[:, None]
+
+
+def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
+                          emit_lse: bool):
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
+    kernel = functools.partial(
+        _flash_kernel_stream, num_k=Sk // block_k, scale=scale,
+        causal=causal, block_q=block_q, block_k=block_k,
+        use_exp2=use_exp2, emit_lse=emit_lse)
+    out_specs = [pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+                 jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32)]
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, H, Sq // block_q, Sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sq * Sk * D,
+            bytes_accessed=(B * H * (Sq + 2 * Sk) * D * q.dtype.itemsize),
+            transcendentals=B * H * Sq * Sk),
+    )(q, k, v)
+    return (o, lse) if emit_lse else o
+
+
 def _pick_block(seq: int, preferred: int) -> int:
     """Largest block <= preferred that divides seq (multiple of 128 when
     possible). ARB buckets produce non-square resolutions whose S is a
@@ -117,6 +220,10 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Sk = k.shape[2]
     block_q = _pick_block(Sq, block_q)
     block_k = _pick_block(Sk, block_k)
+    if (_resident_fwd_bytes(block_q, block_k, Sk, D, q.dtype.itemsize)
+            > _SCOPED_VMEM_BUDGET):
+        return _flash_forward_stream(q, k, v, causal, scale, block_q,
+                                     block_k, emit_lse=False)
     # No host-side lane padding (Mosaic pads sub-128 minor dims inside the
     # VMEM tiles) and no (B,H,S,D)->(B*H,S,D) reshape (XLA materialized it
     # as a copy): the kernel grids directly over (B, H, q-blocks).
@@ -180,6 +287,10 @@ def _flash_forward_lse(q, k, v, causal, scale, block_q=DEFAULT_BLOCK_Q,
     Sk = k.shape[2]
     block_q = _pick_block(Sq, block_q)
     block_k = _pick_block(Sk, block_k)
+    if (_resident_fwd_bytes(block_q, block_k, Sk, D, q.dtype.itemsize)
+            > _SCOPED_VMEM_BUDGET):
+        return _flash_forward_stream(q, k, v, causal, scale, block_q,
+                                     block_k, emit_lse=True)
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
     kernel = functools.partial(_flash_kernel_lse, block_k=block_k, seq_k=Sk,
                                scale=scale, causal=causal, block_q=block_q,
@@ -213,79 +324,83 @@ def _flash_forward_lse(q, k, v, causal, scale, block_q=DEFAULT_BLOCK_Q,
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dq_ref, *, block_k: int, seq_k: int, scale: float,
-                         causal: bool, block_q: int):
+                         dq_ref, acc_ref, *, num_k: int, scale: float,
+                         causal: bool, block_q: int, block_k: int):
+    """Streaming dq: grid (B, H, q-blocks, k-blocks), dq accumulated in
+    scratch across the sequential k dimension. Only one K/V block is
+    VMEM-resident — the earlier fori_loop version kept full K/V (plus
+    lane-padded [Sq,1] lse/delta) resident and blew the 16MB scoped VMEM
+    at S=9216 (768px)."""
     qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0, 0].astype(jnp.float32)                 # [BQ, D]
     do = do_ref[0, 0].astype(jnp.float32)               # [BQ, D]
     lse = lse_ref[0, 0]                                 # [BQ, 1]
     delta = delta_ref[0, 0]                             # [BQ, 1]
-    num_k = seq_k // block_k
-    acc = jnp.zeros_like(q)
-
-    def body(ki, acc):
-        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if causal:
-            q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
-        p = jnp.exp(s - lse)                             # [BQ, BK]
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
-        return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-
+    k = k_ref[0, 0].astype(jnp.float32)                 # [BK, D]
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
     if causal:
-        upper = jnp.minimum(num_k, (qi + 1) * block_q // block_k + 1)
-        acc = jax.lax.fori_loop(0, upper, body, acc)
-    else:
-        acc = jax.lax.fori_loop(0, num_k, body, acc)
-    dq_ref[0, 0] = acc.astype(dq_ref.dtype)
+        q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+    p = jnp.exp(s - lse)                                 # [BQ, BK]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_k - 1)
+    def _finish():
+        dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, *, block_q: int, seq_q: int,
-                          scale: float, causal: bool, block_k: int):
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, num_q: int,
+                          scale: float, causal: bool, block_q: int,
+                          block_k: int):
+    """Streaming dk/dv: grid (B, H, k-blocks, q-blocks), accumulators in
+    scratch across the sequential q dimension."""
     ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
     k = k_ref[0, 0].astype(jnp.float32)                 # [BK, D]
-    v = v_ref[0, 0].astype(jnp.float32)                 # [BK, D]
-    num_q = seq_q // block_q
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
-
-    def body(qi, carry):
-        dk, dv = carry
-        q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q), :]
-        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if causal:
-            q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
-        p = jnp.exp(s - lse)                             # [BQ, BK]
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        return dk, dv
-
+    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0].astype(jnp.float32)                 # [BQ, D]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]                                 # [BQ, 1]
+    delta = delta_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
     if causal:
-        lower = (ki * block_k) // block_q
-        dk, dv = jax.lax.fori_loop(lower, num_q, body, (dk, dv))
-    else:
-        dk, dv = jax.lax.fori_loop(0, num_q, body, (dk, dv))
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+    p = jnp.exp(s - lse)                                 # [BQ, BK]
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_q - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 DEFAULT_BWD_BLOCK = int(os.environ.get('HCP_FLASH_BWD_BLOCK', '512'))
@@ -307,38 +422,44 @@ def _flash_backward(q, k, v, o, lse, g, causal, scale,
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
                     keepdims=True)                       # [B,H,Sq,1]
 
-    blk_q_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
-                              memory_space=pltpu.VMEM)
-    full_q_spec = pl.BlockSpec((1, 1, Sq, D), lambda b, h, i: (b, h, 0, 0),
-                               memory_space=pltpu.VMEM)
-    full_k_spec = pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h, 0, 0),
-                               memory_space=pltpu.VMEM)
-    blk_k_spec = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0),
-                              memory_space=pltpu.VMEM)
-    blk_q1_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
-                               memory_space=pltpu.VMEM)
-    full_q1_spec = pl.BlockSpec((1, 1, Sq, 1), lambda b, h, i: (b, h, 0, 0),
-                                memory_space=pltpu.VMEM)
+    # grid (B, H, qi, ki): q-side operands indexed by qi, K/V by ki
+    q_by_qi = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                           memory_space=pltpu.VMEM)
+    k_by_ki = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0),
+                           memory_space=pltpu.VMEM)
+    q1_by_qi = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0),
+                            memory_space=pltpu.VMEM)
+    # grid (B, H, ki, qi): the mirrored assignment
+    q_by_qi2 = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, j, 0),
+                            memory_space=pltpu.VMEM)
+    k_by_ki2 = pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0),
+                            memory_space=pltpu.VMEM)
+    q1_by_qi2 = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, j, 0),
+                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, seq_k=Sk,
-                          scale=scale, causal=causal, block_q=block_q),
-        grid=(B, H, Sq // block_q),
-        in_specs=[blk_q_spec, full_k_spec, full_k_spec, blk_q_spec,
-                  blk_q1_spec, blk_q1_spec],
-        out_specs=blk_q_spec,
+        functools.partial(_flash_bwd_dq_kernel, num_k=Sk // block_k,
+                          scale=scale, causal=causal, block_q=block_q,
+                          block_k=block_k),
+        grid=(B, H, Sq // block_q, Sk // block_k),
+        in_specs=[q_by_qi, k_by_ki, k_by_ki, q_by_qi, q1_by_qi, q1_by_qi],
+        out_specs=q_by_qi,
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
     )(q, k, v, g, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, seq_q=Sq,
-                          scale=scale, causal=causal, block_k=block_k),
-        grid=(B, H, Sk // block_k),
-        in_specs=[full_q_spec, blk_k_spec, blk_k_spec, full_q_spec,
-                  full_q1_spec, full_q1_spec],
-        out_specs=[blk_k_spec, blk_k_spec],
+        functools.partial(_flash_bwd_dkv_kernel, num_q=Sq // block_q,
+                          scale=scale, causal=causal, block_q=block_q,
+                          block_k=block_k),
+        grid=(B, H, Sk // block_k, Sq // block_q),
+        in_specs=[q_by_qi2, k_by_ki2, k_by_ki2, q_by_qi2, q1_by_qi2,
+                  q1_by_qi2],
+        out_specs=[k_by_ki2, k_by_ki2],
         out_shape=[jax.ShapeDtypeStruct((B, H, Sk, D), k.dtype),
                    jax.ShapeDtypeStruct((B, H, Sk, D), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
+                        pltpu.VMEM((block_k, D), jnp.float32)],
     )(q, k, v, g, lse, delta)
     return dq, dk, dv
 

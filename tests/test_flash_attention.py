@@ -186,3 +186,76 @@ def test_flash_backward_under_remat():
     g1 = jax.grad(f)(q)
     g2 = jax.grad(jax.remat(f))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_flash_streaming_forward_matches_reference():
+    """Streaming (k-grid) forward vs reference — multi k-block accumulation
+    in scratch, incl. causal. Small shapes with forced small blocks."""
+    from hcpdiff_tpu.ops.flash_attention import _flash_forward_stream
+    rng = jax.random.PRNGKey(5)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = jax.random.normal(r1, (2, 2, 256, 40))
+    k = jax.random.normal(r2, (2, 2, 256, 40))
+    v = jax.random.normal(r3, (2, 2, 256, 40))
+    for causal in (False, True):
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_forward_stream(q, k, v, causal, 40 ** -0.5,
+                                        block_q=128, block_k=64,
+                                        emit_lse=False)
+        ref = _xla_reference(q, k, v, causal, 40 ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, err_msg=f'causal={causal}')
+
+
+def test_flash_streaming_lse_matches_resident():
+    from hcpdiff_tpu.ops.flash_attention import (_flash_forward_lse,
+                                                 _flash_forward_stream)
+    rng = jax.random.PRNGKey(6)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = jax.random.normal(r1, (1, 2, 256, 32))
+    k = jax.random.normal(r2, (1, 2, 256, 32))
+    v = jax.random.normal(r3, (1, 2, 256, 32))
+    with pltpu.force_tpu_interpret_mode():
+        o_res, lse_res = _flash_forward_lse(q, k, v, False, 32 ** -0.5)
+        o_str, lse_str = _flash_forward_stream(q, k, v, False, 32 ** -0.5,
+                                               block_q=128, block_k=128,
+                                               emit_lse=True)
+    np.testing.assert_allclose(np.asarray(o_str), np.asarray(o_res), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse_str), np.asarray(lse_res),
+                               atol=2e-5)
+
+
+def test_flash_backward_multiblock_streaming():
+    """Backward with blocks smaller than S: the dq / dk/dv scratch
+    accumulators must carry correctly across the sequential grid dim."""
+    from hcpdiff_tpu.ops.flash_attention import (_flash_backward,
+                                                 _flash_forward_lse)
+    rng = jax.random.PRNGKey(7)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = jax.random.normal(r1, (1, 2, 256, 32))
+    k = jax.random.normal(r2, (1, 2, 256, 32))
+    v = jax.random.normal(r3, (1, 2, 256, 32))
+    s = 32 ** -0.5
+    for causal in (False, True):
+        def loss_ref(q, k, v):
+            return jnp.sum(_xla_reference(q, k, v, causal, s) ** 2)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            o, lse = _flash_forward_lse(q, k, v, causal, s)
+            g = 2.0 * o
+            gf = _flash_backward(q, k, v, o, lse, g, causal, s,
+                                 block_q=128, block_k=64)
+        for a, b, name in zip(gf, gr, 'qkv'):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4,
+                                       err_msg=f'd{name} causal={causal}')
+
+
+def test_resident_estimate_routes_large_seq_to_streaming():
+    """The 768px shape (Sk=9216, bf16) that OOM'd the scoped VMEM must
+    route to streaming; the tuned 512px shape (Sk=4096) must stay on the
+    resident kernel."""
+    from hcpdiff_tpu.ops.flash_attention import (_SCOPED_VMEM_BUDGET,
+                                                 _resident_fwd_bytes)
+    assert _resident_fwd_bytes(1024, 1024, 9216, 40, 2) > _SCOPED_VMEM_BUDGET
+    assert _resident_fwd_bytes(1024, 1024, 4096, 40, 2) <= _SCOPED_VMEM_BUDGET
