@@ -384,6 +384,291 @@ class UniPCSampler(KSamplerBase):
         return x_next, (x_cur, m_t, m0_last), m_t
 
 
+class DPMpp2MSDESampler(KSamplerBase):
+    """DPM-Solver++ 2M SDE (midpoint), the 'DPM++ 2M SDE (Karras)' webui
+    sampler / diffusers DPMSolverMultistepScheduler
+    algorithm_type='sde-dpmsolver++'. One model eval per step; ancestral
+    noise injection scaled by eta (eta=0 degrades to plain 2M up to the
+    exp(-eta h) decay)."""
+
+    def __init__(self, schedule, num_steps, eta: float = 1.0, **kw):
+        super().__init__(schedule, num_steps, **kw)
+        self.eta = float(eta)
+
+    def init_state(self, shape):
+        return jnp.zeros(shape, jnp.float32)  # previous x0 prediction
+
+    def step(self, state, model_out, i, x, rng=None):
+        s, s_next = self.sigmas[i], self.sigmas[i + 1]
+        x0 = self._to_x0(model_out, x, i)
+        lam = lambda sig: -jnp.log(jnp.maximum(sig, 1e-12))
+        h = lam(s_next) - lam(s)                # lambda_next - lambda
+        eta_h = self.eta * h
+        ratio = s_next / jnp.maximum(s, 1e-12)
+        x_next = (ratio * jnp.exp(-eta_h) * x
+                  - jnp.expm1(-h - eta_h) * x0)
+        # midpoint multistep correction with the previous x0
+        s_prev = self.sigmas[jnp.maximum(i - 1, 0)]
+        h_last = lam(s) - lam(s_prev)
+        r = h_last / jnp.where(h == 0, 1.0, h)
+        corr = (-0.5 * jnp.expm1(-h - eta_h)
+                / jnp.where(r == 0, 1.0, r) * (x0 - state))
+        x_next = x_next + jnp.where(i >= 1, 1.0, 0.0) * corr
+        if rng is not None and self.eta > 0:
+            noise_scale = s_next * jnp.sqrt(
+                jnp.maximum(-jnp.expm1(-2.0 * eta_h), 0.0))
+            x_next = x_next + jax.random.normal(rng, x.shape) * noise_scale
+        x_next = jnp.where(s_next == 0, x0, x_next)
+        return x_next, x0, x0
+
+
+class LMSSampler(KSamplerBase):
+    """Linear multistep (webui 'LMS' / k-diffusion sample_lms): Adams-
+    Bashforth over sigma space with per-step coefficients from integrating
+    the Lagrange basis over [sigma_i, sigma_{i+1}] (numerically, at
+    construction — the classical quad the torch stack does with scipy)."""
+
+    ORDER = 4
+
+    def __init__(self, schedule, num_steps, order: int = 4, **kw):
+        super().__init__(schedule, num_steps, **kw)
+        self.order = min(int(order), self.ORDER)
+        sig = np.asarray(self.sigmas)           # [N+1], last = 0
+        N = self.num_steps
+        coeffs = np.zeros((N, self.ORDER), np.float64)
+        for i in range(N):
+            o = min(i + 1, self.order)
+            taus = np.linspace(sig[i], sig[i + 1], 4097)
+            for j in range(o):
+                prod = np.ones_like(taus)
+                for k in range(o):
+                    if k != j:
+                        prod *= (taus - sig[i - k]) / (sig[i - j] - sig[i - k])
+                trapezoid = getattr(np, 'trapezoid', np.trapz)
+                coeffs[i, j] = trapezoid(prod, taus)
+        self._coeffs = jnp.asarray(coeffs, jnp.float32)
+
+    def init_state(self, shape):
+        return jnp.zeros((self.ORDER,) + shape, jnp.float32)  # d history
+
+    def step(self, state, model_out, i, x, rng=None):
+        s = self.sigmas[i]
+        x0 = self._to_x0(model_out, x, i)
+        d = (x - x0) / jnp.maximum(s, 1e-12)
+        ds = jnp.concatenate([state[1:], d[None]], axis=0)  # newest last
+        c = self._coeffs[i]                                  # [ORDER], j=0 newest
+        upd = sum(_bshape(c[j][None], x.ndim) * ds[self.ORDER - 1 - j]
+                  for j in range(self.ORDER))
+        return x + upd, ds, x0
+
+
+class DEISSampler(KSamplerBase):
+    """DEIS (arXiv 2204.13902) 'logrho' order-2 multistep. One eval/step.
+
+    Integrates the EPSILON parametrization dx/drho = eps_hat(rho) with
+    eps_hat Lagrange-interpolated in log-rho (the paper's logrho basis, the
+    diffusers DEISMultistepScheduler default): order 1 reduces to Euler in
+    sigma space; order 2 adds the previous eval's epsilon with the
+    analytic basis integrals."""
+
+    def init_state(self, shape):
+        return jnp.zeros(shape, jnp.float32)  # previous epsilon
+
+    def step(self, state, model_out, i, x, rng=None):
+        s, s_next = self.sigmas[i], self.sigmas[i + 1]
+        s_prev = self.sigmas[jnp.maximum(i - 1, 0)]
+        x0 = self._to_x0(model_out, x, i)
+        eps = (x - x0) / jnp.maximum(s, 1e-12)
+        x_o1 = x + (s_next - s) * eps            # Euler in sigma space
+
+        def ind(t, b, c):
+            # Integrate[(log x - log c)/(log b - log c), {x, 0..t}]
+            t_ = jnp.maximum(t, 1e-12)
+            den = jnp.log(b) - jnp.log(c)
+            den = jnp.where(den == 0, 1.0, den)  # i==0: masked by use_o2
+            return t_ * (-jnp.log(c) + jnp.log(t_) - 1.0) / den
+
+        sp = jnp.maximum(s_prev, 1e-12)
+        sc = jnp.maximum(s, 1e-12)
+        c1 = ind(s_next, sc, sp) - ind(sc, sc, sp)   # weight on eps_i
+        c2 = ind(s_next, sp, sc) - ind(sc, sp, sc)   # weight on eps_{i-1}
+        x_o2 = x + c1 * eps + c2 * state
+        # order ramps: first step o1; final step o1 for short runs
+        # (diffusers lower_order_final for <15 steps)
+        use_o2 = (i >= 1)
+        if self.num_steps < 15:
+            use_o2 = use_o2 & (i < self.num_steps - 1)
+        x_next = jnp.where(use_o2, x_o2, x_o1)
+        x_next = jnp.where(s_next == 0, x0, x_next)
+        return x_next, eps, x0
+
+
+class TwoStageKSampler(KSamplerBase):
+    """Base for 2-evals-per-transfer sigma-space samplers (Heun, DPM2,
+    DPM2-ancestral). The eval plan is staggered onto the scan like PNDM's
+    RK warmup: each transfer = 2 scan iterations (predictor at sigma_k,
+    corrector at the stage-2 sigma), except the final transfer to sigma=0
+    which is a plain Euler step (k-diffusion behavior). ``timesteps``,
+    ``num_steps`` and ``sigmas`` describe the EVAL plan (length 2N-1).
+
+    Note: img2img timestep slicing assumes one eval per transfer; use a
+    single-eval sampler (euler/dpm++/unipc/...) for partial loops.
+    """
+
+    def __init__(self, schedule, num_steps, **kw):
+        super().__init__(schedule, num_steps, **kw)
+        sig = np.asarray(self.sigmas, np.float64)        # [N+1], last 0
+        ts = np.asarray(self.timesteps)
+        N = self.num_steps
+        s_from, s_to, s_mid, s_up = self._transfer_tables(sig)  # each [N]
+        # staggered plan
+        plan_sig, plan_t, stage, pair = [], [], [], []
+        log_all = np.log(np.sqrt(
+            (1 - np.asarray(self.schedule.alphas_cumprod))
+            / np.asarray(self.schedule.alphas_cumprod)))
+
+        def t_of_sigma(sv):
+            if sv <= 0:
+                return 0
+            return int(np.clip(np.interp(np.log(sv), log_all,
+                                         np.arange(len(log_all))).round(),
+                               0, len(log_all) - 1))
+
+        for k in range(N - 1):
+            plan_sig += [sig[k], s_mid[k]]
+            plan_t += [int(ts[k]), t_of_sigma(s_mid[k])]
+            stage += [0, 1]
+            pair += [k, k]
+        plan_sig.append(sig[N - 1])
+        plan_t.append(int(ts[N - 1]))
+        stage.append(0)
+        pair.append(N - 1)
+
+        self._plan_stage = jnp.asarray(stage, jnp.int32)
+        self._pair = jnp.asarray(pair, jnp.int32)
+        self._s_from = jnp.asarray(s_from, jnp.float32)
+        self._s_to = jnp.asarray(s_to, jnp.float32)
+        self._s_mid = jnp.asarray(s_mid, jnp.float32)
+        self._s_up = jnp.asarray(s_up, jnp.float32)
+        self.timesteps = jnp.asarray(plan_t, jnp.int32)
+        self.sigmas = jnp.asarray(np.append(plan_sig, 0.0), jnp.float32)
+        self.num_steps = len(plan_t)
+
+    def _transfer_tables(self, sig):
+        """-> (s_from, s_to, s_mid, s_up) per transfer k (numpy [N])."""
+        raise NotImplementedError
+
+    def init_state(self, shape):
+        z = jnp.zeros(shape, jnp.float32)
+        return (z, z)                         # (x_base, d1)
+
+    def _combine(self, x_base, d1, d2, k):
+        raise NotImplementedError
+
+    def step(self, state, model_out, i, x, rng=None):
+        x_base, d1 = state
+        s_eval = self.sigmas[i]
+        stage = self._plan_stage[i]
+        k = self._pair[i]
+        x0 = self._to_x0(model_out, x, i)
+        d = (x - x0) / jnp.maximum(s_eval, 1e-12)
+        s_from, s_to = self._s_from[k], self._s_to[k]
+        s_mid, s_up = self._s_mid[k], self._s_up[k]
+
+        is_final = i == (self.num_steps - 1)
+        # stage 0: predictor x_pred = x + d*(s_mid - s_from); final transfer
+        # is plain Euler to s_to (== 0 or sigma_down)
+        x_pred = x + d * (s_mid - s_from)
+        x_final = x + d * (s_to - s_from)
+        x_s0 = jnp.where(is_final, x_final, x_pred)
+        # stage 1: corrector from x_base with d2 evaluated at s_mid
+        x_s1 = self._combine(x_base, d1, d, k)
+        if rng is not None:
+            noise = jax.random.normal(rng, x.shape)
+            x_s1 = x_s1 + noise * _bshape(s_up[None], x.ndim)
+            # final Euler transfer of the ancestral variant also adds noise
+            x_s0 = jnp.where(is_final & (s_up > 0),
+                             x_s0 + noise * _bshape(s_up[None], x.ndim), x_s0)
+        x_next = jnp.where(stage == 0, x_s0, x_s1)
+        new_state = (jnp.where(stage == 0, x, x_base),
+                     jnp.where(stage == 0, d, d1))
+        return x_next, new_state, x0
+
+
+class HeunSampler(TwoStageKSampler):
+    """Heun's method (webui 'Heun' / diffusers HeunDiscreteScheduler):
+    trapezoidal 2nd-order correction; stage-2 eval at sigma_{k+1}."""
+
+    def _transfer_tables(self, sig):
+        N = self.num_steps
+        s_from = sig[:N]
+        s_to = sig[1:N + 1]
+        s_mid = s_to.copy()                    # second eval at sigma_next
+        s_up = np.zeros(N)
+        return s_from, s_to, s_mid, s_up
+
+    def _combine(self, x_base, d1, d2, k):
+        dt = self._s_to[k] - self._s_from[k]
+        return x_base + 0.5 * (d1 + d2) * dt
+
+
+class DPM2Sampler(TwoStageKSampler):
+    """DPM2 (k-diffusion sample_dpm_2 / diffusers KDPM2DiscreteScheduler):
+    midpoint method with the second eval at the log-space midpoint."""
+
+    def _transfer_tables(self, sig):
+        N = self.num_steps
+        s_from = sig[:N]
+        s_to = sig[1:N + 1]
+        with np.errstate(divide='ignore'):
+            s_mid = np.exp(0.5 * (np.log(np.maximum(s_from, 1e-12))
+                                  + np.log(np.maximum(s_to, 1e-12))))
+        s_mid = np.where(s_to <= 0, s_from, s_mid)
+        return s_from, s_to, s_mid, np.zeros(N)
+
+    def _combine(self, x_base, d1, d2, k):
+        return x_base + d2 * (self._s_to[k] - self._s_from[k])
+
+
+class DPM2AncestralSampler(TwoStageKSampler):
+    """DPM2 a (k-diffusion sample_dpm_2_ancestral): midpoint toward
+    sigma_down, ancestral noise sigma_up after the transfer."""
+
+    def _transfer_tables(self, sig):
+        N = self.num_steps
+        s_from = sig[:N]
+        s_next = sig[1:N + 1]
+        with np.errstate(divide='ignore', invalid='ignore'):
+            s_up = np.sqrt(np.maximum(
+                s_next ** 2 * (s_from ** 2 - s_next ** 2)
+                / np.maximum(s_from ** 2, 1e-24), 0.0))
+            s_down = np.sqrt(np.maximum(s_next ** 2 - s_up ** 2, 0.0))
+            s_mid = np.exp(0.5 * (np.log(np.maximum(s_from, 1e-12))
+                                  + np.log(np.maximum(s_down, 1e-12))))
+        s_mid = np.where(s_down <= 0, s_from, s_mid)
+        return s_from, s_down, s_mid, s_up
+
+    def _combine(self, x_base, d1, d2, k):
+        return x_base + d2 * (self._s_to[k] - self._s_from[k])
+
+
+class DPMpp2SASampler(DPM2AncestralSampler):
+    """DPM++ 2S a (k-diffusion sample_dpmpp_2s_ancestral; webui
+    'DPM++ 2S a'): singlestep 2nd-order exponential integrator toward
+    sigma_down with ancestral noise. In sigma space with data prediction
+    the r=1/2 predictor reduces exactly to an Euler step to the geometric
+    midpoint (expm1(-rh) == s_mid/s_from - 1), so it shares
+    DPM2AncestralSampler's tables; only the corrector differs — it
+    re-anchors on the midpoint x0 prediction."""
+
+    def _combine(self, x_base, d1, d2, k):
+        s_from, s_down, s_mid = self._s_from[k], self._s_to[k], self._s_mid[k]
+        x_mid = x_base + d1 * (s_mid - s_from)
+        x0_mid = x_mid - d2 * s_mid
+        d_mid = (x_base - x0_mid) / jnp.maximum(s_from, 1e-12)
+        return x_base + d_mid * (s_down - s_from)
+
+
 SAMPLERS = {
     'ddim': DDIMSampler,
     'ddpm': DDPMSampler,
@@ -391,6 +676,17 @@ SAMPLERS = {
     'euler_a': EulerAncestralSampler,
     'dpm++_2m': DPMpp2MSampler,
     'dpmpp_2m': DPMpp2MSampler,
+    'dpm++_2m_sde': DPMpp2MSDESampler,
+    'dpmpp_2m_sde': DPMpp2MSDESampler,
+    'dpm++_sde': DPMpp2MSDESampler,
+    'dpmpp_sde': DPMpp2MSDESampler,
+    'heun': HeunSampler,
+    'lms': LMSSampler,
+    'deis': DEISSampler,
+    'dpm2': DPM2Sampler,
+    'dpm2_a': DPM2AncestralSampler,
+    'dpm++_2s_a': DPMpp2SASampler,
+    'dpmpp_2s_a': DPMpp2SASampler,
     'pndm': PNDMSampler,
     'unipc': UniPCSampler,
 }

@@ -190,8 +190,14 @@ class Visualizer:
 
     # -------------------------------------------------- new_components ----
     # diffusers scheduler class -> our sampler name
+    # insertion order matters: longer/more-specific class fragments first
+    # (kdpm2ancestral before kdpm2, dpmsolversde before dpmsolver...)
     _SCHED_MAP = {'eulerancestral': 'euler_a', 'eulerdiscrete': 'euler',
+                  'dpmsolversde': 'dpm++_sde',
+                  'dpmsolversinglestep': 'dpm++_2s_a',
                   'dpmsolvermultistep': 'dpm++_2m', 'unipcmultistep': 'unipc',
+                  'kdpm2ancestral': 'dpm2_a', 'kdpm2': 'dpm2',
+                  'heun': 'heun', 'lms': 'lms', 'deis': 'deis',
                   'pndm': 'pndm', 'ddim': 'ddim', 'ddpm': 'ddpm'}
 
     def _apply_new_components(self, nc):
@@ -205,10 +211,27 @@ class Visualizer:
             tgt = str(sch.get('_target_', '')).lower().replace('discretescheduler', 'discrete')
             for key, name in self._SCHED_MAP.items():
                 if key in tgt or key.replace('discrete', '') in tgt:
+                    # DPMSolverMultistep with algorithm_type sde-dpmsolver++
+                    # is the 'DPM++ 2M SDE' sampler
+                    if name == 'dpm++_2m' and 'sde' in str(
+                            sch.get('algorithm_type', '')).lower():
+                        name = 'dpm++_2m_sde'
                     ia = self.cfgs.get('infer_args') or Cfg()
                     ia['sampler'] = name
+                    if sch.get('use_karras_sigmas'):
+                        kwz = dict(ia.get('sampler_kwargs') or {})
+                        kwz['use_karras_sigmas'] = True
+                        ia['sampler_kwargs'] = kwz
                     self.cfgs['infer_args'] = ia
                     break
+            else:
+                # reference configs can name ANY diffusers scheduler class
+                # (visualizer.py:99-110); silently keeping the default
+                # sampler would generate with the wrong method
+                raise ValueError(
+                    f'new_components.scheduler {sch.get("_target_")!r} has '
+                    'no sampler mapping; supported: '
+                    + ', '.join(sorted(set(self._SCHED_MAP.values()))))
             kw = {k: sch[k] for k in ('beta_start', 'beta_end',
                                       'beta_schedule', 'prediction_type')
                   if k in sch}
@@ -355,8 +378,11 @@ class Visualizer:
                       guidance_scale=float(ia.get('guidance_scale', 7.5)),
                       sampler=str(ia.get('sampler', 'dpm++_2m')),
                       seed=int(seed), emb_ext=self.emb_ext)
+        skw = dict(ia.get('sampler_kwargs') or {})
         if ia.get('karras') or ia.get('use_karras_sigmas'):
-            common['sampler_kwargs'] = {'use_karras_sigmas': True}
+            skw['use_karras_sigmas'] = True
+        if skw:
+            common['sampler_kwargs'] = skw
         # ControlNet condition image (reference ex_input + ControlNetProcessor,
         # visualizer.py:180-183)
         ex_input = self.cfgs.get('ex_input')

@@ -28,7 +28,10 @@ def run_sampler(name, num_steps, schedule=None, seed=0):
     state = sampler.init_state(SHAPE)
 
     acp = schedule.alphas_cumprod
-    for i in range(num_steps):
+    # staggered eval plans (PNDM prk warmup, Heun/DPM2 two-stage) expand
+    # sampler.num_steps beyond the requested solver steps; the pipeline
+    # scans sampler.num_steps (infer/pipeline.py:83) and so must we
+    for i in range(sampler.num_steps):
         t = sampler.timesteps[i]
         x_in = sampler.scale_model_input(state, x, jnp.asarray(i))
         a = acp[t]
