@@ -213,13 +213,44 @@ def merge_overlays(params: Any, overlays: Sequence[PathDict],
                 # (tools/convert_old_lora.py:9-10); it adds to the host bias
                 # with the same alpha/rank/scale factor as the kernel delta
                 if 'bias' not in leaf:
+                    # Documented limitation (vs reference
+                    # lora_base_patch.py reparameterization_to_host which
+                    # creates the host bias): our flax hosts declare
+                    # bias-free projections (SD attention to_q/to_k/to_v),
+                    # and flax silently IGNORES undeclared params — so
+                    # synthesizing one here would silently drop the delta.
+                    # Raising is the only honest behavior.
                     raise ValueError(
                         f'LoRA at {path!r} has a bias but the host layer is '
-                        'bias-free; a bias delta cannot be weight-merged')
+                        'bias-free (SD attention projections are '
+                        'use_bias=False); a bias delta cannot be applied to '
+                        'this model. Strip it explicitly with '
+                        'hcpdiff_tpu.adapt.overlay.strip_overlay_bias(...) '
+                        'to apply the kernel-only part.')
                 rank = entry['down'].shape[-1]
                 db = entry['bias'] * (entry['alpha'] / rank) * s
                 leaf['bias'] = leaf['bias'] + db.astype(leaf['bias'].dtype)
     return merged
+
+
+def strip_overlay_bias(overlay: PathDict, warn: bool = True) -> PathDict:
+    """Drop bias deltas from a (pre-0.9 reference format) LoRA overlay so it
+    can be merged into bias-free hosts. The kernel deltas are kept intact;
+    see merge_overlays for why the bias cannot be attached."""
+    out = {}
+    dropped = []
+    for path, entry in overlay.items():
+        if 'bias' in entry:
+            entry = {k: v for k, v in entry.items() if k != 'bias'}
+            dropped.append(path)
+        out[path] = entry
+    if dropped and warn:
+        import warnings
+        warnings.warn(
+            f'stripped LoRA bias deltas at {len(dropped)} layers '
+            f'({dropped[:3]}...) — bias-free hosts cannot represent them',
+            stacklevel=2)
+    return out
 
 
 def _deep_dict(tree: Any) -> Any:

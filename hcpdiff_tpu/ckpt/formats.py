@@ -205,6 +205,15 @@ def overlay_to_kohya(overlay: Dict[str, dict], torch_paths: Dict[str, str],
     [out,r] (or [out,r,1,1]), alpha)."""
     conv_shapes = conv_shapes or {}
     sd: Dict[str, np.ndarray] = {}
+    biased = [p for p, e in overlay.items() if 'bias' in e]
+    if biased:
+        # the kohya layout has no bias slot (lora_down/lora_up/alpha only);
+        # exporting would silently drop part of the adapter
+        raise ValueError(
+            'overlay_to_kohya: kohya format cannot represent LoRA bias '
+            f'deltas (pre-0.9 reference layers) present at {biased[:3]}; '
+            'export with lora_overlay_to_state (HCP format) instead, or '
+            'strip the biases explicitly first')
     for path, entry in overlay.items():
         tp = torch_paths.get(path, path)
         base = f'{prefix}_{tp.replace(".", "_")}'

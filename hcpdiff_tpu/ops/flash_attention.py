@@ -104,15 +104,21 @@ def _resident_fwd_bytes(block_q: int, block_k: int, seq_k: int, d: int,
 _SCOPED_VMEM_BUDGET = 15.9e6
 
 
-def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref,
-                         m_ref, l_ref, *, num_k: int, scale: float,
-                         causal: bool, block_q: int, block_k: int,
-                         use_exp2: bool, emit_lse: bool):
+def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, *rest, num_k: int,
+                         scale: float, causal: bool, block_q: int,
+                         block_k: int, use_exp2: bool, emit_lse: bool):
     """Streaming variant: grid (B, H, q-blocks, k-blocks) with the online
     (max, sum, acc) state carried in scratch across the sequential k grid
     dimension — only ONE [BK, D] K/V block is VMEM-resident at a time, so
     any sequence length fits (the resident kernel caps at Sk ≈ 24k bf16;
-    S=9216 at 768px already blew the 16MB scoped limit)."""
+    S=9216 at 768px already blew the 16MB scoped limit).
+
+    ``rest`` is (lse_ref?, acc_ref, m_ref, l_ref): the lse output ref exists
+    only when emit_lse (no garbage [B,H,Sq,1] copy-out on inference)."""
+    if emit_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -122,26 +128,37 @@ def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q_scale = scale * (1.4426950408889634 if use_exp2 else 1.0)
-    expf = jnp.exp2 if use_exp2 else jnp.exp
-    q = q_ref[0, 0].astype(jnp.float32) * q_scale       # [BQ, D]
-    k = k_ref[0, 0].astype(jnp.float32)                 # [BK, D]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    def _compute():
+        q_scale = scale * (1.4426950408889634 if use_exp2 else 1.0)
+        expf = jnp.exp2 if use_exp2 else jnp.exp
+        q = q_ref[0, 0].astype(jnp.float32) * q_scale       # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)                 # [BK, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if causal:
+            q_ids = (qi * block_q
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            k_ids = (ki * block_k
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        m_prev = m_ref[:, 0]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = expf(m_prev - m_cur)
+        p = expf(s - m_cur[:, None])
+        v = v_ref[0, 0].astype(jnp.float32)
+        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1,
+                                                    dtype=jnp.float32)
+        acc_ref[:] = (acc_ref[:] * alpha[:, None]
+                      + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32))
+        m_ref[:, 0] = m_cur
+
     if causal:
-        q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
-    m_prev = m_ref[:, 0]
-    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-    alpha = expf(m_prev - m_cur)
-    p = expf(s - m_cur[:, None])
-    v = v_ref[0, 0].astype(jnp.float32)
-    l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1, dtype=jnp.float32)
-    acc_ref[:] = (acc_ref[:] * alpha[:, None]
-                  + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32))
-    m_ref[:, 0] = m_cur
+        # fully-masked blocks (k block entirely above the diagonal) skip the
+        # matmuls; the block's DMA still happens but the MXU/VPU work doesn't
+        pl.when(ki * block_k < (qi + 1) * block_q)(_compute)
+    else:
+        _compute()
 
     @pl.when(ki == num_k - 1)
     def _finish():
@@ -162,12 +179,14 @@ def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
         causal=causal, block_q=block_q, block_k=block_k,
         use_exp2=use_exp2, emit_lse=emit_lse)
     out_specs = [pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
-                 jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32)]
-    o, lse = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype)]
+    if emit_lse:
+        out_specs.append(pl.BlockSpec((1, 1, block_q, 1),
+                                      lambda b, h, i, j: (b, h, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32))
+    result = pl.pallas_call(
         kernel,
         grid=(B, H, Sq // block_q, Sk // block_k),
         in_specs=[
@@ -190,7 +209,7 @@ def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
             bytes_accessed=(B * H * (Sq + 2 * Sk) * D * q.dtype.itemsize),
             transcendentals=B * H * Sq * Sk),
     )(q, k, v)
-    return (o, lse) if emit_lse else o
+    return tuple(result) if emit_lse else result[0]
 
 
 def _pick_block(seq: int, preferred: int) -> int:

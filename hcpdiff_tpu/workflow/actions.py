@@ -174,14 +174,26 @@ class BuildPluginAction(BasicAction, MemoryMixin):
         spec = dict(self.cfg or {})
         tgt = str(spec.pop('_target_', ''))
         spec.pop('_partial_', None)
-        builder = None
         if tgt:
+            # an explicit _target_ must resolve — a typo'd plugin class
+            # silently building the default ControlNet would train/infer
+            # the wrong plugin (same dispatch contract as the Trainer,
+            # trainer.py build_trainables)
             try:
-                builder = getattr(locate(tgt), 'from_unet', None)
-            except Exception:
-                builder = None
-        if builder is None:
-            builder = build_controlnet   # default, as the Trainer does
+                cls = locate(tgt)
+            except Exception as e:
+                raise ValueError(
+                    f'BuildPluginAction: cannot resolve plugin _target_ '
+                    f'{tgt!r}: {e}') from e
+            builder = getattr(cls, 'from_unet', None)
+            if builder is None and 'ControlNet' in tgt:
+                builder = build_controlnet
+            if builder is None:
+                raise ValueError(
+                    f'BuildPluginAction: {tgt!r} has no from_unet builder '
+                    '(see models/controlnet.py build_controlnet protocol)')
+        else:
+            builder = build_controlnet   # no cfg: default ControlNet
         plugin, params = builder(jax.random.PRNGKey(0), memory['unet_cfg'],
                                  memory['unet_params'], vae_scale=vae_scale,
                                  **spec)

@@ -112,8 +112,9 @@ def test_vae_downsample_factor_matches_sd():
 
 
 def test_fused_qkv_matches_unfused(tiny_unet, monkeypatch):
-    """HCP_FUSED_QKV=1 (one qkv matmul, default) must produce the exact
-    param pytree and outputs of the separate to_q/to_k/to_v Dense path."""
+    """HCP_FUSED_QKV=1 (one qkv matmul; opt-in, off by default — measured
+    slower on v5e, see unet.py) must produce the exact param pytree and
+    outputs of the separate to_q/to_k/to_v Dense path."""
     cfg, model, _ = tiny_unet
     x = jnp.ones((2, 8, 8, 4))
     t = jnp.array([3, 5])
