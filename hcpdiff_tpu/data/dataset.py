@@ -186,9 +186,15 @@ class TextImagePairDataset:
 
         # tokenization (DreamArtist prompts are [neg,pos] pairs)
         if self.frontend is not None:
-            if self.dream_artist and prompts and isinstance(prompts[0], (list, tuple)):
-                negs = [p[0] for p in prompts]
-                poss = [p[1] for p in prompts]
+            if self.dream_artist and prompts:
+                # the train step splits input_ids into [neg..., pos...]
+                # halves; a source without pair word_names still must feed
+                # the doubled layout (neg == pos then), or the UNet
+                # cross-attention batch mismatches the latents
+                pairs = [p if isinstance(p, (list, tuple)) else (p, p)
+                         for p in prompts]
+                negs = [p[0] for p in pairs]
+                poss = [p[1] for p in pairs]
                 ids, mult = self.frontend.tokenize_batch(negs + poss)
             else:
                 flat = [p if isinstance(p, str) else p[-1] for p in prompts]

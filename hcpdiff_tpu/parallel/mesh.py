@@ -110,6 +110,41 @@ def fsdp_shardings(tree: Any, mesh: Mesh) -> Any:
         lambda x: NamedSharding(mesh, fsdp_spec(x, n)), tree)
 
 
+def gather_to_host(tree: Any) -> Any:
+    """Fetch a (possibly cross-process sharded) pytree to host numpy.
+
+    COLLECTIVE on multi-host when any leaf is not fully addressable
+    (zero1/zero2/fsdp shards live on other processes): every process must
+    call this together — the reference's accelerate gather-then-save
+    equivalent (train_ac.py:400-426). Fully-addressable leaves (replicated
+    or single-process) are plain device_gets with no communication."""
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils as mhu
+            return np.asarray(mhu.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree_util.tree_map(get, tree)
+
+
+def broadcast_string(s: str, max_len: int = 256) -> str:
+    """Process-0's string on every process (utf-8, fixed-width uint8)."""
+    from jax.experimental import multihost_utils as mhu
+    buf = np.zeros(max_len, np.uint8)
+    raw = s.encode('utf-8')[:max_len]
+    buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(mhu.broadcast_one_to_all(buf))
+    return bytes(out[out != 0]).decode('utf-8')
+
+
+def barrier(name: str = 'barrier') -> None:
+    """Cross-process sync (reference accelerator.wait_for_everyone,
+    train_ac.py:425-426). No-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mhu
+        mhu.sync_global_devices(name)
+
+
 def pad_to_multiple(n_items: int, multiple: int) -> int:
     """Bucket padding invariant (reference data/bucket.py:181-188):
     pad item count to a multiple of batch_size x n_devices."""

@@ -89,9 +89,26 @@ def adamw_8bit(lr: Any = 1e-5, betas=(0.9, 0.999), eps: float = 1e-8,
         optax.scale_by_learning_rate(lr))
 
 
+def dadapt_adamw(lr: Any = 1.0, betas=(0.9, 0.999), eps: float = 1e-8,
+                 weight_decay: float = 0.0, **kw):
+    """D-Adaptation AdamW (learning-rate-free; the reference reaches
+    dadaptation.DAdaptAdam via hydra class path, README.md:46)."""
+    import optax.contrib
+    return optax.contrib.dadapt_adamw(lr, betas=tuple(betas), eps=eps,
+                                      weight_decay=weight_decay)
+
+
+def prodigy(lr: Any = 1.0, betas=(0.9, 0.999), eps: float = 1e-8,
+            weight_decay: float = 0.0, **kw):
+    import optax.contrib
+    return optax.contrib.prodigy(lr, betas=tuple(betas), eps=eps,
+                                 weight_decay=weight_decay)
+
+
 OPTIMIZERS: dict = {
     'adamw': adamw, 'adam': adam, 'lion': lion, 'sgd': sgd,
     'adafactor': adafactor, 'adamw_8bit': adamw_8bit,
+    'dadapt_adamw': dadapt_adamw, 'prodigy': prodigy,
 }
 
 for _n, _f in OPTIMIZERS.items():
@@ -101,13 +118,62 @@ register('torch.optim.Adam', adam)
 register('torch.optim.SGD', sgd)
 register('lion_pytorch.Lion', lion)
 register('bitsandbytes.optim.AdamW8bit', adamw_8bit)
+register('dadaptation.DAdaptAdam', dadapt_adamw)
+register('dadaptation.DAdaptAdamW', dadapt_adamw)
+register('prodigyopt.Prodigy', prodigy)
+register('transformers.optimization.Adafactor', adafactor)
+
+
+def resolve_optimizer(ocfg) -> tuple:
+    """Resolve an optimizer config node {_target_: path, **kwargs} to
+    (factory, kwargs) — the hydra-partial-any-class parity path (reference
+    train_ac.py:324-379).
+
+    Resolution order: short name in OPTIMIZERS -> registry / import via
+    locate() (must be callable). Unknown or unresolvable targets RAISE —
+    never a silent adamw fallback (a typo'd class training with default
+    betas is exactly the silent-config-bug class). Kwargs pass through to
+    the factory verbatim (no whitelist); 'lr' is dropped because group lrs
+    drive the schedule (reference param_groups semantics)."""
+    from ..config.instantiate import locate
+    spec = dict(ocfg or {})
+    tgt = spec.pop('_target_', None)
+    spec.pop('_partial_', None)
+    spec.pop('lr', None)
+    if 'betas' in spec:
+        spec['betas'] = tuple(spec['betas'])
+    if tgt is None:
+        return adamw, spec
+    t = str(tgt)
+    low = t.lower()
+    if low in OPTIMIZERS:
+        return OPTIMIZERS[low], spec
+    tail = low.rsplit('.', 1)[-1]
+    if tail in OPTIMIZERS:
+        return OPTIMIZERS[tail], spec
+    if tail in ('adamw8bit', 'adam8bit'):
+        return OPTIMIZERS['adamw_8bit'], spec
+    try:
+        fn = locate(t)
+    except Exception as e:
+        raise ValueError(
+            f'cannot resolve optimizer _target_ {t!r}: {e}. Use an optax '
+            'factory path (fn(lr=..., **kw) -> GradientTransformation), a '
+            'short name ' + str(sorted(OPTIMIZERS)) + ', or a registered '
+            'torch-class alias.') from e
+    if not callable(fn):
+        raise ValueError(f'optimizer _target_ {t!r} resolved to '
+                         f'non-callable {type(fn).__name__}')
+    return fn, spec
 
 
 def make_optimizer(name_or_fn='adamw', lr=1e-5, clip_norm: Optional[float] = None,
                    schedule: Optional[optax.Schedule] = None,
                    **kw) -> optax.GradientTransformation:
     fn = OPTIMIZERS[name_or_fn] if isinstance(name_or_fn, str) else name_or_fn
-    tx = fn(lr=schedule if schedule is not None else lr, **kw)
+    # positional lr: our factories take (lr, ...), raw optax factories take
+    # (learning_rate, ...) — positional reaches both
+    tx = fn(schedule if schedule is not None else lr, **kw)
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx

@@ -80,7 +80,8 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
                      tx_pt: Optional[optax.GradientTransformation],
                      cfg: StepConfig,
                      lora_scales: Optional[Dict[str, Dict[str, float]]] = None,
-                     controlnet_apply: Optional[Callable] = None):
+                     controlnet_apply: Optional[Callable] = None,
+                     grad_constraint: Optional[Callable] = None):
     """Returns ``train_step(state, frozen, batch, rng)``.
 
     unet_apply(params, x, t, ctx, **extra) -> eps
@@ -89,6 +90,10 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
             'token_mult': [B,S]?, 'att_mask': [B,h,w]?, 'loss_weight': []/[B]?,
             'extra_cond': {...}?}
     With grad_accum>1 every batch leaf has a leading [accum] axis.
+    grad_constraint: optional pytree->pytree sharding constraint applied to
+    the gradients (ZeRO-2: grads live sharded over 'data' so the sharded
+    optimizer update never materializes the replicated grad tree —
+    reference cfgs/zero2.json gradient partitioning).
     """
     T = schedule.num_train_timesteps
     t_hi = cfg.max_timestep or T
@@ -177,7 +182,12 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
                 g_acc, l_acc = carry
                 mb, r = xs
                 l, g = loss_grad_fn(state.pack, frozen, mb, r)
-                return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + l), None
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                if grad_constraint is not None:
+                    # ZeRO-2: the accumulator carry stays sharded between
+                    # microbatches (reduce-scatter instead of all-reduce)
+                    g_acc = grad_constraint(g_acc)
+                return (g_acc, l_acc + l), None
 
             rngs = jax.random.split(rng, cfg.grad_accum)
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.pack)
@@ -186,6 +196,8 @@ def build_train_step(unet_apply: Callable, te_encode: Callable,
             loss = loss_sum / cfg.grad_accum
         else:
             loss, grads = loss_grad_fn(state.pack, frozen, batch, rng)
+        if grad_constraint is not None:
+            grads = grad_constraint(grads)
 
         g_model, g_pt = split_pack(grads)
         p_model, p_pt = split_pack(state.pack)

@@ -54,13 +54,33 @@ class Trainer:
             # run before any jax.process_index() query (is_main_process,
             # exp-dir creation, loggers) or every host thinks it's main.
             jax.distributed.initialize()
-        self.exp_dir = cfgs.get('exp_dir', f'exps/{time.strftime("%Y-%m-%d-%H-%M-%S")}')
+        self.exp_dir = cfgs.get('exp_dir')
+        if not self.exp_dir:
+            self.exp_dir = f'exps/{time.strftime("%Y-%m-%d-%H-%M-%S")}'
+            if jax.process_count() > 1:
+                # all processes must agree on the experiment dir (orbax and
+                # save paths are derived from it on every process)
+                from ..parallel.mesh import broadcast_string
+                self.exp_dir = broadcast_string(self.exp_dir)
         if is_main_process():
             os.makedirs(self.exp_dir, exist_ok=True)
             os.makedirs(os.path.join(self.exp_dir, 'ckpts'), exist_ok=True)
             save_config(cfgs, os.path.join(self.exp_dir, 'cfg.yaml'))
-        self.loggers = build_loggers(cfgs.get('logger'), self.exp_dir)
-        self.seed = int(cfgs.get('seed', 42)) + jax.process_index()
+            self.loggers = build_loggers(cfgs.get('logger'), self.exp_dir)
+        else:
+            # non-main processes must not open files under exp_dir (the
+            # dir exists on process 0 only; reference gates loggers on
+            # is_local_main_process, train_ac.py:130-155)
+            from ..loggers import LoggerGroup
+            self.loggers = LoggerGroup([])
+        # ONE seed on every process: jit'ed training is a single logical
+        # SPMD program over global arrays — param init, noise and timestep
+        # draws must be process-invariant or device_put of "replicated"
+        # trees diverges across hosts. (The reference's per-rank
+        # set_seed(seed+local_rank), train_ac.py:128, exists because torch
+        # DDP runs one independent program per replica; here per-host
+        # variation comes from host-sliced data, not the seed.)
+        self.seed = int(cfgs.get('seed', 42))
 
         self.mesh = make_mesh(fsdp=int(cfgs.get('fsdp', 1)))
         self.world_size = self.mesh.devices.size
@@ -99,9 +119,12 @@ class Trainer:
         latest = self.orbax.latest_step()
         if latest is None:
             return
-        template = jax.device_get(self.state)
+        # gather_to_host is multi-host collective-safe (zero1-sharded opt
+        # state lives across processes); every process enters restore
+        from ..parallel.mesh import gather_to_host
+        template = gather_to_host(self.state)
         restored = self.orbax.restore(latest, template=template)
-        self.state = replicate(restored, self.mesh)
+        self.state = self._apply_state_shardings(restored)
         self.start_step = int(latest)
         self.loggers.info(f'auto-resumed full train state @ step {latest}')
 
@@ -259,8 +282,12 @@ class Trainer:
 
         b_cfg = ds_cfg.get('bucket')
         bucket = self._build_bucket(b_cfg)
-        da = bool(self.cfgs.get('lora_unet') and any(
-            sp.get('branch') == 'n' for sp in (self.cfgs.get('lora_unet') or [])))
+        # DreamArtist needs the [neg, pos] collate prompt layout whenever ANY
+        # lora group has a negative branch — unet OR text encoder (a TE-only
+        # DreamArtist config is valid, reference cfg_net_tools make_hcpdiff)
+        da_specs = (list(self.cfgs.get('lora_unet') or [])
+                    + list(self.cfgs.get('lora_text_encoder') or []))
+        da = any(sp.get('branch') == 'n' for sp in da_specs)
         # SDXL conditions on crop-info time_ids (reference
         # data/crop_info_dataset.py:21 CropInfoPairDataset)
         with_crop = bool(ds_cfg.get('with_crop_info', self.sdxl))
@@ -304,12 +331,19 @@ class Trainer:
         for item in items:
             try:
                 obj = instantiate(item)
-            except Exception:
-                continue
+            except Exception as e:
+                # a misspelled TagDropout target must not silently train
+                # without augmentation (round-2 silent-config class of bug)
+                raise ValueError(
+                    f'text_transforms: cannot instantiate '
+                    f'{item.get("_target_", item)!r}: {e}') from e
             if isinstance(obj, TemplateFill):
                 continue
-            if callable(obj):
-                built.append(obj)
+            if not callable(obj):
+                raise ValueError(
+                    f'text_transforms: {item.get("_target_", item)!r} built '
+                    f'a non-callable {type(obj).__name__}')
+            built.append(obj)
         return Compose(built) if built else None
 
     @staticmethod
@@ -456,15 +490,8 @@ class Trainer:
             total_bs = sum(getattr(d, 'bs', 1) for d in self.datasets) or 1
             lr_scale = total_bs  # bs already includes world_size
 
-        ocfg = dict(tcfg.get('optimizer') or {})
-        opt_name = 'adamw'
-        tgt = str(ocfg.pop('_target_', '')).lower()
-        for n in ('lion', 'sgd', 'adafactor', '8bit'):
-            if n in tgt:
-                opt_name = {'8bit': 'adamw_8bit'}.get(n, n)
-        ocfg.pop('_partial_', None)
-        okw = {k: v for k, v in ocfg.items()
-               if k in ('betas', 'eps', 'weight_decay')}
+        from .optimizers import resolve_optimizer
+        opt_fn, okw = resolve_optimizer(tcfg.get('optimizer'))
         clip = float(tcfg.get('max_grad_norm', 1.0) or 0)
 
         def sched_for(lr):
@@ -475,7 +502,7 @@ class Trainer:
         from .step import is_pt_key
         model_keys = [k for k in self.group_lrs if not is_pt_key(k)]
         if model_keys:
-            txs = {k: make_optimizer(opt_name, schedule=sched_for(self.group_lrs[k]),
+            txs = {k: make_optimizer(opt_fn, schedule=sched_for(self.group_lrs[k]),
                                      **okw) for k in model_keys}
 
             def labels(params):
@@ -484,17 +511,20 @@ class Trainer:
 
             tx = optax.multi_transform(txs, labels)
         else:
-            tx = make_optimizer(opt_name, schedule=sched_for(1e-5), **okw)
+            tx = make_optimizer(opt_fn, schedule=sched_for(1e-5), **okw)
         self.tx = (optax.chain(optax.clip_by_global_norm(clip), tx)
                    if clip else tx)
 
+        # prompt-embedding optimizer honors its own class + kwargs
+        # (reference builds a full second optimizer, train_ac.py:361-379)
+        opt_pt_fn, pkw = resolve_optimizer(tcfg.get('optimizer_pt'))
         pt_lr = max(self.pt_lrs.values(), default=3e-3)
         s2 = dict(tcfg.get('scheduler_pt') or scfg)
         sched_pt = make_schedule(s2.get('name', 'constant'), pt_lr,
                                  int(s2.get('num_warmup_steps', 0)),
                                  int(s2.get('num_training_steps', steps)))
-        self.tx_pt = make_optimizer('adamw', schedule=sched_pt,
-                                    clip_norm=clip or None)
+        self.tx_pt = make_optimizer(opt_pt_fn, schedule=sched_pt,
+                                    clip_norm=clip or None, **pkw)
 
     def build_ckpt_manager(self):
         kind = self.cfgs.get('ckpt_type', 'safetensors')
@@ -557,11 +587,27 @@ class Trainer:
         items = words.items() if isinstance(words, dict) else words
         for name, path in items:
             vecs = load_webui_embedding(path)[1]
-            if name in self.emb_slices and 'emb' in self.pack \
-                    and not isinstance(self.pack['emb'], dict):
-                sl = self.emb_slices[name]
+            if name not in self.emb_slices or 'emb' not in self.pack:
+                self.loggers.info(
+                    f'resume: word {name!r} not among loaded embeddings '
+                    '— skipped')
+                continue
+            sl = self.emb_slices[name]
+            n = sl.stop - sl.start
+            if isinstance(self.pack['emb'], dict):
+                # SDXL: per-encoder tables; the on-disk webui vector is the
+                # [n, 768+1280] concat (reference embedding_convert.py)
+                from ..models.compose.sdxl_te import split_sdxl_embedding
+                parts = split_sdxl_embedding(
+                    np.asarray(vecs), dim_l=self.te.cfg.hidden_size)
+                emb = {k: np.array(jax.device_get(v))
+                       for k, v in self.pack['emb'].items()}
+                for key, tab in emb.items():
+                    tab[sl] = parts[key][:n]
+                self.pack['emb'] = {k: jnp.asarray(v) for k, v in emb.items()}
+            else:
                 emb = np.array(jax.device_get(self.pack['emb']))  # writable copy
-                emb[sl] = vecs[:sl.stop - sl.start]
+                emb[sl] = vecs[:n]
                 self.pack['emb'] = jnp.asarray(emb)
 
     # ------------------------------------------------------------ steps ----
@@ -629,11 +675,21 @@ class Trainer:
             cn_apply = lambda p, x, t, ctx, cond: cn.apply(
                 {'params': p}, x, t, ctx, cond)
 
+        grad_constraint = None
+        if self.zero_level >= 2 and self.world_size > 1:
+            from ..parallel.mesh import zero1_shardings
+            mesh = self.mesh
+
+            def grad_constraint(g):
+                return jax.lax.with_sharding_constraint(
+                    g, zero1_shardings(g, mesh))
+
         # donate the state: optimizer/EMA buffers update in place on device
         self._train_step = jax.jit(build_train_step(
             unet_apply, te_encode, self.noise_schedule, crit,
             self.tx, self.tx_pt, step_cfg, self.lora_scales,
-            controlnet_apply=cn_apply), donate_argnums=(0,))
+            controlnet_apply=cn_apply, grad_constraint=grad_constraint),
+            donate_argnums=(0,))
         self.state = init_train_state(self.pack, self.tx, self.tx_pt,
                                       use_ema=self.use_ema)
         if getattr(self, '_resume_ema', None) and self.state.ema is not None:
@@ -643,8 +699,6 @@ class Trainer:
         self.frozen = {'unet': self.unet_params, 'te': self.te_params}
         if self.sdxl:
             self.frozen['te2'] = self.te2_params
-        # replicate over the mesh; optionally ZeRO-1-shard optimizer state
-        self.state = replicate(self.state, self.mesh)
         if self.mesh.shape['fsdp'] > 1:
             # fsdp>1 (config key 'fsdp'): frozen base params shard over the
             # fsdp axis — the ZeRO-3/Gemini analog for SDXL-scale models
@@ -654,17 +708,51 @@ class Trainer:
                                          fsdp_shardings(self.frozen, self.mesh))
         else:
             self.frozen = replicate(self.frozen, self.mesh)
-        if bool((self.cfgs.get('train') or {}).get('zero1', False)) \
-                and self.world_size > 1:
-            from ..parallel.mesh import zero1_shardings
-            sh = zero1_shardings(self.state.opt_state, self.mesh)
-            self.state = self.state.replace(
-                opt_state=jax.device_put(self.state.opt_state, sh))
+        self.state = self._apply_state_shardings(self.state)
+
+    @property
+    def zero_level(self) -> int:
+        """ZeRO stage analog (reference cfgs/zero2.json / zero3.json via
+        DeepSpeed, train_deepspeed.py:13): 1 = optimizer-state sharding,
+        2 = + gradient sharding (reduce-scatter accumulate), 3 = + the
+        TRAINABLE pack itself sharded over 'data' (XLA all-gathers shards
+        into the matmuls). Config: train.zero: N (train.zero1: true is the
+        round-2 back-compat spelling of stage 1)."""
+        tcfg = self.cfgs.get('train') or Cfg()
+        level = int(tcfg.get('zero', 0) or 0)
+        if bool(tcfg.get('zero1', False)):
+            level = max(level, 1)
+        return level
+
+    def _apply_state_shardings(self, state):
+        """Mesh placement for the train state per self.zero_level. Used at
+        build AND after orbax restore (restore must not silently drop the
+        sharded layout)."""
+        from ..parallel.mesh import zero1_shardings
+        state = replicate(state, self.mesh)
+        if self.world_size <= 1:
+            return state
+        level = self.zero_level
+        if level >= 1:
+            sh = zero1_shardings(state.opt_state, self.mesh)
+            state = state.replace(
+                opt_state=jax.device_put(state.opt_state, sh))
+        if level >= 3:
+            state = state.replace(
+                pack=jax.device_put(state.pack,
+                                    zero1_shardings(state.pack, self.mesh)))
+            if state.ema is not None:
+                state = state.replace(
+                    ema=jax.device_put(state.ema,
+                                       zero1_shardings(state.ema, self.mesh)))
+        return state
 
     # ------------------------------------------------------------ train ----
     def train(self):
         assert self.data_group is not None, 'no datasets configured'
-        log_step = 20
+        # scalar cadence = gcd of the configured loggers' log_steps
+        # (reference train_ac.py:140-145 min_log_step semantics)
+        log_step = max(int(self.loggers.log_step), 1)
         rng = jax.random.PRNGKey(self.seed)
         t0 = time.perf_counter()
         step = self.start_step
@@ -770,11 +858,21 @@ class Trainer:
 
     # ------------------------------------------------------------- save ----
     def save_model(self, step: int):
+        """Multi-host-correct save protocol (reference train_ac.py:400-426
+        main-process gating + barrier): EVERY process enters the gather
+        (collective when the state is sharded) and the orbax save (orbax
+        coordinates across processes itself); only process 0 writes the
+        interchange formats; a barrier closes the step."""
+        from ..parallel.mesh import barrier, gather_to_host
+        pack = gather_to_host(self.state.pack)
+        ema = (gather_to_host(self.state.ema)
+               if self.state.ema is not None else {}) or {}
+        # all processes call orbax save (multihost orbax requirement);
+        # pass the live (possibly sharded) state — no host round-trip
+        self.orbax.save(step, self.state)
         if not is_main_process():
+            barrier('save_model')
             return
-        pack = jax.device_get(self.state.pack)
-        ema = jax.device_get(self.state.ema) if self.state.ema is not None else {}
-        ema = ema or {}
         def conv_shapes_for(overlay, params):
             from ..adapt.overlay import _get_path
             out = {}
@@ -816,13 +914,19 @@ class Trainer:
                              f'plugin-{step}{self.ckpt_manager.ext}'),
                 {'controlnet1': pack['controlnet']})
         if 'emb' in pack:
+            emb_tab = pack['emb']
+            if isinstance(emb_tab, dict):
+                # SDXL per-encoder tables -> concatenated webui vector
+                from ..models.compose.sdxl_te import concat_sdxl_embedding
+                emb_tab = concat_sdxl_embedding(
+                    {k: np.asarray(v) for k, v in emb_tab.items()})
             for name, sl in self.emb_slices.items():
                 if name in self.train_emb_names:
                     self.ckpt_manager.save_embedding(
                         os.path.join(self.exp_dir, 'ckpts', f'{name}-{step}.pt'),
-                        np.asarray(pack['emb'])[sl], name, step)
-        self.orbax.save(step, jax.device_get(self.state))
+                        np.asarray(emb_tab)[sl], name, step)
         self.loggers.info(f'saved ckpt @ step {step}')
+        barrier('save_model')
 
     def save_merged(self, out_dir: str):
         """Collapse the trained pack (ft subsets + LoRA deltas) into the base
