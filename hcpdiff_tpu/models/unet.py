@@ -143,6 +143,34 @@ class _DenseKernel(nn.Module):
                           (in_features, self.features), jnp.float32)
 
 
+class _DenseParams(nn.Module):
+    """kernel+bias params matching ``nn.Dense`` paths/init exactly, for
+    routing the matmul through the Pallas projection GEMM (ops/matmul.py)
+    while checkpoints/LoRA selectors see an ordinary Dense module."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def _pallas_proj() -> bool:
+    return os.environ.get('HCP_PALLAS_PROJ', '0') == '1'
+
+
+def _proj_dense(x, features, dtype, name):
+    """Dense with bias, Pallas-GEMM-routed when HCP_PALLAS_PROJ=1."""
+    if _pallas_proj():
+        from ..ops.matmul import fused_dense
+        k, b = _DenseParams(features, name=name)(x.shape[-1])
+        return fused_dense(x.astype(dtype), k.astype(dtype), b.astype(dtype))
+    return _dense(features, dtype, name)(x)
+
+
 class CrossAttention(nn.Module):
     """to_q/to_k/to_v/to_out naming mirrors diffusers for converter parity."""
     query_dim: int
@@ -184,7 +212,7 @@ class CrossAttention(nn.Module):
         v = v.reshape(B, Sk, h, d).transpose(0, 2, 1, 3)
         o = attention(q, k, v, bias=bias)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, self.query_dim)
-        return _dense(self.query_dim, self.dtype, 'to_out')(o)
+        return _proj_dense(o, self.query_dim, self.dtype, 'to_out')
 
 
 class GEGLUFeedForward(nn.Module):
@@ -195,6 +223,14 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
+        if _pallas_proj():
+            # h*gelu(gate) fused into the GEMM epilogue: the [.., 2*inner]
+            # intermediate never reaches HBM (ops/matmul.py geglu_dense)
+            from ..ops.matmul import geglu_dense
+            k, b = _DenseParams(inner * 2, name='proj')(x.shape[-1])
+            h = geglu_dense(x.astype(self.dtype), k.astype(self.dtype),
+                            b.astype(self.dtype))
+            return _proj_dense(h, self.dim, self.dtype, 'out')
         h = _dense(inner * 2, self.dtype, 'proj')(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * jax.nn.gelu(gate, approximate=False)
@@ -233,7 +269,10 @@ class Transformer2D(nn.Module):
         B, H, W, C = x.shape
         residual = x
         h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name='norm')(x)
-        if os.environ.get('HCP_TFM_4D', '1') == '1':
+        if _pallas_proj():
+            h = _proj_dense(h.reshape(B, H * W, C), self.channels,
+                            self.dtype, 'proj_in')
+        elif os.environ.get('HCP_TFM_4D', '1') == '1':
             # run proj_in/proj_out on the NHWC tensor so the conv<->sequence
             # relayout happens inside the projection fusion instead of as a
             # standalone reshape copy (measured -93ms on the 20-step loop)
@@ -245,6 +284,9 @@ class Transformer2D(nn.Module):
             h = BasicTransformerBlock(self.channels, self.heads, self.context_dim,
                                       dtype=self.dtype,
                                       name=f'transformer_blocks_{i}')(h, context, context_bias)
+        if _pallas_proj():
+            h = _proj_dense(h, self.channels, self.dtype, 'proj_out')
+            return h.reshape(B, H, W, C) + residual
         if os.environ.get('HCP_TFM_4D', '1') == '1':
             h = _dense(self.channels, self.dtype, 'proj_out')(h.reshape(B, H, W, C))
             return h + residual

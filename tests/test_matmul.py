@@ -1,0 +1,125 @@
+"""Pallas projection GEMM tests (ops/matmul.py) — interpret mode on CPU."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from hcpdiff_tpu.ops.matmul import fused_dense, geglu_dense
+
+
+def _ref_dense(x, w, b):
+    return (x.astype(jnp.float32) @ w.astype(jnp.float32)
+            + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _ref_geglu(x, w, b):
+    y = x.astype(jnp.float32) @ w.astype(jnp.float32) + b.astype(jnp.float32)
+    h, gate = jnp.split(y, 2, axis=-1)
+    return (h * jax.nn.gelu(gate, approximate=False)).astype(x.dtype)
+
+
+@pytest.mark.parametrize('M,K,N', [(256, 320, 512), (128, 64, 128),
+                                   (1024, 320, 2560)])
+def test_fused_dense_matches(M, K, N):
+    rng = jax.random.PRNGKey(0)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    x = jax.random.normal(r1, (M, K), jnp.float32)
+    w = jax.random.normal(r2, (K, N), jnp.float32) * 0.05
+    b = jax.random.normal(r3, (N,), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_dense(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref_dense(x, w, b)),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fused_dense_3d_and_odd_blocks():
+    # [B, S, K] input; M = 2*192 = 384 not divisible by 512 -> _pick path
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 192, 96), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (96, 160), jnp.float32) * 0.1
+    b = jnp.zeros((160,), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_dense(x, w, b)
+    assert out.shape == (2, 192, 160)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_dense(x, w, b)),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_geglu_dense_matches():
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 64, 96), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (96, 2 * 384), jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(5), (2 * 384,), jnp.float32) * 0.1
+    with pltpu.force_tpu_interpret_mode():
+        out = geglu_dense(x, w, b)
+    assert out.shape == (4, 64, 384)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref_geglu(x, w, b)),
+                               atol=3e-4, rtol=1e-4)
+
+
+def test_fused_dense_grads():
+    x = jax.random.normal(jax.random.PRNGKey(6), (32, 48), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(7), (48, 64), jnp.float32) * 0.1
+    b = jnp.ones((64,), jnp.float32) * 0.1
+
+    def loss_pallas(x, w, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_dense(x, w, b) ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(_ref_dense(x, w, b) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-2, rtol=1e-3)
+
+
+def test_geglu_grads():
+    x = jax.random.normal(jax.random.PRNGKey(8), (16, 32), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(9), (32, 2 * 128), jnp.float32) * 0.1
+    b = jnp.zeros((2 * 128,), jnp.float32)
+
+    def loss_pallas(x, w, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(geglu_dense(x, w, b) ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(_ref_geglu(x, w, b) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-2, rtol=1e-3)
+
+
+def test_unet_pallas_proj_parity(monkeypatch):
+    """HCP_PALLAS_PROJ=1 must produce the exact param pytree and matching
+    outputs of the nn.Dense path."""
+    from hcpdiff_tpu.models.unet import UNetConfig, UNet2DCondition
+    cfg = UNetConfig.tiny()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    t = jnp.array([3, 5])
+    c = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, 77, cfg.cross_attention_dim))
+
+    monkeypatch.setenv('HCP_PALLAS_PROJ', '0')
+    model = UNet2DCondition(cfg, dtype=jnp.float32)
+    p0 = model.init(jax.random.PRNGKey(2), x, t, c)['params']
+    o0 = model.apply({'params': p0}, x, t, c)
+
+    monkeypatch.setenv('HCP_PALLAS_PROJ', '1')
+    with pltpu.force_tpu_interpret_mode():
+        p1 = model.init(jax.random.PRNGKey(2), x, t, c)['params']
+        o1 = model.apply({'params': p1}, x, t, c)
+
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=3e-4, rtol=1e-4)
