@@ -159,7 +159,17 @@ class _DenseParams(nn.Module):
 
 
 def _pallas_proj() -> bool:
-    return os.environ.get('HCP_PALLAS_PROJ', '0') == '1'
+    return (os.environ.get('HCP_PALLAS_PROJ', '0') == '1'
+            and jax.default_backend() == 'tpu')
+
+
+def _pallas_ff() -> bool:
+    """ff Pallas routing (geglu + ff.out) — default ON for TPU: measured
+    2.99 vs 2.94 img/s whole-loop, and trace-timed kernels beat XLA's
+    ff.out fusions ~3x at level 0 (ROUND_NOTES round-3). HCP_PALLAS_FF=0
+    disables; HCP_PALLAS_PROJ=1 additionally routes proj_in/out + to_out."""
+    return _pallas_proj() or (os.environ.get('HCP_PALLAS_FF', '1') == '1'
+                              and jax.default_backend() == 'tpu')
 
 
 def _proj_dense(x, features, dtype, name):
@@ -223,14 +233,22 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
-        if _pallas_proj():
-            # h*gelu(gate) fused into the GEMM epilogue: the [.., 2*inner]
-            # intermediate never reaches HBM (ops/matmul.py geglu_dense)
-            from ..ops.matmul import geglu_dense
+        if _pallas_ff() or os.environ.get('HCP_PALLAS_GEGLU', '0') == '1':
+            # Both halves through pallas: geglu's h*gelu(gate) fused into the
+            # GEMM epilogue (the [.., 2*inner] intermediate never reaches
+            # HBM), then the narrow-N out GEMM K-resident (XLA emits it with
+            # a transposed {1,2,0} layout at ~38 TF/s vs our ~157 TF/s).
+            # Measured 3.06 img/s vs 2.94 XLA vs 2.87 pallas-out-only —
+            # splitting the pair reintroduces layout copies at the boundary.
+            from ..ops.matmul import fused_dense, geglu_dense
             k, b = _DenseParams(inner * 2, name='proj')(x.shape[-1])
             h = geglu_dense(x.astype(self.dtype), k.astype(self.dtype),
                             b.astype(self.dtype))
-            return _proj_dense(h, self.dim, self.dtype, 'out')
+            if _pallas_ff():
+                ko, bo = _DenseParams(self.dim, name='out')(h.shape[-1])
+                return fused_dense(h, ko.astype(self.dtype),
+                                   bo.astype(self.dtype))
+            return _dense(self.dim, self.dtype, 'out')(h)
         h = _dense(inner * 2, self.dtype, 'proj')(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * jax.nn.gelu(gate, approximate=False)

@@ -85,6 +85,12 @@ def _gn_silu_xla_direct(x, scale, bias, groups, eps, apply_silu):
     import os
     B, C = x.shape[0], x.shape[-1]
     orig_shape = x.shape
+    if os.environ.get('HCP_GN_BARRIER', '0') == '1':
+        # keep the stats reductions OUT of the producer conv's fusion: the
+        # conv+stats multi-output fusions run at ~40 TF/s while pure convs
+        # hit ~195 TF/s (round-3 trace); the barrier trades an extra
+        # bandwidth-bound stats pass for clean conv tiling
+        x = jax.lax.optimization_barrier(x)
     xf = x.reshape(B, -1, C)
     n = xf.shape[1] * (C // groups)
     if os.environ.get('HCP_GN_SPATIAL_FIRST', '0') == '1':

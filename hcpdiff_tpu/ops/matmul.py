@@ -49,42 +49,127 @@ def _pick(m: int, pref: int, quantum: int = 128) -> int:
     return m
 
 
-def _dense_kernel(x_ref, w_ref, b_ref, o_ref, *, use_bias: bool):
-    x = x_ref[...]
-    w = w_ref[...]
-    acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+DEFAULT_BK = int(os.environ.get('HCP_PROJ_BK', '1280'))
+
+
+def _dense_kernel_kres(x_ref, w_ref, b_ref, o_ref, *, use_bias: bool):
+    """K-resident GEMM tile: one dot straight to the output block (every
+    SD1.5/SDXL projection except ff.out has K <= 1280 — no accumulator
+    round-trip needed)."""
+    acc = jax.lax.dot_general(x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if use_bias:
         acc = acc + b_ref[0].astype(jnp.float32)[None, :]
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _matmul_2d(x2, w, b, bm: int, bn: int):
+def _dense_kernel_kstream(x_ref, w_ref, b_ref, o_ref, acc_ref, *, num_k: int,
+                          use_bias: bool):
+    """K-streaming GEMM: grid (M, N, K) with the fp32 accumulator in
+    scratch across the sequential K dimension (ff.out at the C=1280 UNet
+    levels has K=5120 — a K-resident [BM,K] x block blows the 16MB scoped
+    VMEM)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_k - 1)
+    def _finish():
+        acc = acc_ref[...]
+        if use_bias:
+            acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+
+_VMEM_BUDGET = 15 * 1024 * 1024  # block-model budget for auto-tile picks
+# raised scoped-VMEM ceiling for the pallas_calls: Mosaic's double-buffering
+# decisions vary with grid size (a config that fits at grid (32,1) can blow
+# the default 16MB at grid (2,1)), so give the compiler real headroom
+_VMEM_LIMIT = 32 * 1024 * 1024
+
+
+def _kres_bytes(bm, bn, K, itemsize):
+    """K-resident VMEM model: grid (i, j) iterates j innermost, so the
+    x block (index (i, 0)) is single-buffered while w/out double-buffer."""
+    return (bm * K + 2 * K * bn + bn + 2 * bm * bn) * itemsize
+
+
+def _auto_dense_blocks(M, K, N, itemsize):
+    """Measured on v5e (tools_dev/tune_proj.py, trace-timed): K-resident
+    with the largest fitting bm wins for K <= 2560 (l0 ff.out 0.341ms vs
+    XLA-in-loop 1.4ms); K=5120 prefers bk=1280 streaming at bm1024."""
+    for bm in (2048, 1024, 512):
+        if _kres_bytes(min(bm, M), N if N <= 512 else 512, K,
+                       itemsize) <= _VMEM_BUDGET:
+            return bm, K
+    return 1024, 1280
+
+
+def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0):
     M, K = x2.shape
     N = w.shape[1]
+    if bm == DEFAULT_BM and not bk:
+        bm, bk = _auto_dense_blocks(M, K, N, x2.dtype.itemsize)
     bm = _pick(M, bm)
     bn = _pick(N, bn)
+    bk = _pick(K, bk or DEFAULT_BK)
+    # safety net: shrink bm until the block residency model fits scoped VMEM
+    while bm > 128 and _kres_bytes(bm, bn, min(bk, K), x2.dtype.itemsize) \
+            > _VMEM_BUDGET:
+        bm = _pick(M, bm // 2)
     use_bias = b is not None
     if b is None:
         b = jnp.zeros((1, N), x2.dtype)
     else:
         b = b.reshape(1, N)
+    if bk >= K:
+        return pl.pallas_call(
+            functools.partial(_dense_kernel_kres, use_bias=use_bias),
+            grid=(M // bm, N // bn),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel', 'parallel'),
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=(M * K + K * N + M * N) * x2.dtype.itemsize,
+                transcendentals=0),
+        )(x2, w, b)
     return pl.pallas_call(
-        functools.partial(_dense_kernel, use_bias=use_bias),
-        grid=(M // bm, N // bn),
+        functools.partial(_dense_kernel_kstream, num_k=K // bk,
+                          use_bias=use_bias),
+        grid=(M // bm, N // bn, K // bk),
         in_specs=[
-            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=(M * K + K * N + M * N) * x2.dtype.itemsize,
@@ -92,13 +177,13 @@ def _matmul_2d(x2, w, b, bm: int, bn: int):
     )(x2, w, b)
 
 
-@functools.lru_cache(maxsize=8)
-def _make_fused_dense(bm: int, bn: int):
+@functools.lru_cache(maxsize=16)
+def _make_fused_dense(bm: int, bn: int, bk: int = 0):
     @jax.custom_vjp
     def fn(x, w, b):
         shape = x.shape
         x2 = x.reshape(-1, shape[-1])
-        out = _matmul_2d(x2, w, b, bm, bn)
+        out = _matmul_2d(x2, w, b, bm, bn, bk)
         return out.reshape(shape[:-1] + (w.shape[1],))
 
     def fwd(x, w, b):
@@ -119,13 +204,25 @@ def _make_fused_dense(bm: int, bn: int):
 
 def fused_dense(x: jnp.ndarray, w: jnp.ndarray,
                 b: Optional[jnp.ndarray] = None,
-                bm: int = DEFAULT_BM, bn: int = DEFAULT_BN) -> jnp.ndarray:
+                bm: int = DEFAULT_BM, bn: int = DEFAULT_BN,
+                bk: int = 0) -> jnp.ndarray:
     """[..., K] @ [K, N] (+ bias) via the Pallas tiled GEMM."""
-    fn = _make_fused_dense(bm, bn)
+    fn = _make_fused_dense(bm, bn, bk)
     if b is None:
         # bias handled as zeros inside; grads for it are discarded by caller
         b = jnp.zeros((w.shape[1],), x.dtype)
     return fn(x, w, b)
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| < 1.5e-7 — far below
+    bf16 resolution). Pallas TPU has no erf lowering; only exp is needed."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
 def _geglu_kernel(x_ref, wh_ref, wg_ref, b_ref, o_ref):
@@ -137,16 +234,28 @@ def _geglu_kernel(x_ref, wh_ref, wg_ref, b_ref, o_ref):
                              preferred_element_type=jnp.float32)
     h = h + b_ref[0].astype(jnp.float32)[None, :]
     gt = gt + b_ref[1].astype(jnp.float32)[None, :]
-    # exact (erf) gelu, matching jax.nn.gelu(approximate=False)
-    gelu = gt * 0.5 * (1.0 + jax.lax.erf(gt * 0.7071067811865475))
+    # exact-form (erf) gelu, matching jax.nn.gelu(approximate=False)
+    gelu = gt * 0.5 * (1.0 + _erf(gt * 0.7071067811865475))
     o_ref[...] = (h * gelu).astype(o_ref.dtype)
 
 
 def _geglu_2d(x2, w, b, bm: int, bn: int):
     M, K = x2.shape
     inner = w.shape[1] // 2
+    if bm == DEFAULT_BM and bn == DEFAULT_BN:
+        # measured on v5e (tools_dev/tune_proj.py): bm1024 with the full
+        # inner as one column block wins at K=320 (x re-reads dominate);
+        # narrower bn at the deeper levels where the two w blocks are big
+        bm, bn = 1024, (inner if inner <= 1280 else 512)
     bm = _pick(M, bm)
     bn = _pick(inner, bn)
+    def _gbytes(bm, bn):
+        # x single-buffered (constant along the inner j dim), wh/wg/out double
+        return (bm * K + 4 * K * bn + 2 * bm * bn) * x2.dtype.itemsize
+    while bn > 256 and _gbytes(bm, bn) > _VMEM_BUDGET:
+        bn = _pick(inner, bn // 2)
+    while bm > 128 and _gbytes(bm, bn) > _VMEM_BUDGET:
+        bm = _pick(M, bm // 2)
     b2 = jnp.stack([b[:inner], b[inner:]], axis=0)  # [2, inner]
     nblocks = inner // bn
     return pl.pallas_call(
@@ -166,7 +275,8 @@ def _geglu_2d(x2, w, b, bm: int, bn: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, inner), x2.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel')),
+            dimension_semantics=('parallel', 'parallel'),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * M * inner * K,
             bytes_accessed=(M * K + 2 * K * inner + M * inner)
