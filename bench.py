@@ -10,13 +10,34 @@ Baseline: the reference publishes no numbers (BASELINE.md); we use 2.5
 images/sec as the A100+xFormers SD1.5 20-step batched-throughput estimate
 derived from public SD benchmarks (~16 TFLOP/image at 40% MFU of 312 TFLOPS
 fp16, typical pipeline overheads included).
+
+Scope note (BASELINE.md): the timed loop covers the jitted CFG denoise
+scan + VAE decode with precomputed text embeddings (77 tokens; the CLIP
+pass is <1% of generation FLOPs) — matching how the A100 estimate is
+normally quoted (pipeline with cached prompt embeds).
+
+Extra modes (not used by the driver, which runs plain `python bench.py`):
+  BENCH_MODEL=sdxl    SDXL base (2048-d context, pooled+time_ids), 1024px
+  BENCH_SIZE=768      other resolutions for the sd15 model
+Their baselines: SDXL-1024 A100+xFormers ~= 0.55 img/s (public ~1.8 s/img
+at 30 steps scaled to 20), SD1.5-768 ~= 1.1 img/s (2.25x pixel FLOPs).
 """
 import json
 import os
 import sys
 import time
 
-BASELINE_IMG_PER_S = 2.5
+BASELINES = {
+    ('sd15', 512): 2.5,
+    ('sd15', 768): 1.1,
+    ('sdxl', 1024): 0.55,
+}
+
+
+def _v(msg):
+    if os.environ.get('BENCH_VERBOSE', '0') == '1':
+        print(f'[bench {time.strftime("%H:%M:%S")}] {msg}',
+              file=sys.stderr, flush=True)
 
 
 def main():
@@ -36,17 +57,26 @@ def main():
     from hcpdiff_tpu.models.unet import UNetConfig, UNet2DCondition
     from hcpdiff_tpu.models.vae import VAEConfig, AutoencoderKL
 
-    batch = int(os.environ.get('BENCH_BATCH', '8'))
+    model = os.environ.get('BENCH_MODEL', 'sd15')
     steps = int(os.environ.get('BENCH_STEPS', '20'))
-    size = int(os.environ.get('BENCH_SIZE', '512'))
+    size = int(os.environ.get('BENCH_SIZE', '1024' if model == 'sdxl' else '512'))
+    batch = int(os.environ.get('BENCH_BATCH', '4' if model == 'sdxl' else '8'))
     lat = size // 8
 
     dtype = jnp.bfloat16
-    ucfg = UNetConfig.sd15()
+    ucfg = UNetConfig.sdxl() if model == 'sdxl' else UNetConfig.sd15()
+    ctx_dim = 2048 if model == 'sdxl' else 768
     unet = UNet2DCondition(ucfg, dtype=dtype)
     rng = jax.random.PRNGKey(0)
+    init_kw = {}
+    if model == 'sdxl':
+        init_kw = dict(pooled_text_emb=jnp.zeros((1, 1280), dtype),
+                       time_ids=jnp.zeros((1, 6), jnp.float32))
+    _v(f'init UNet ({model}, {size}px, batch {batch})')
     unet_params = unet.init(rng, jnp.zeros((1, lat, lat, 4), dtype),
-                            jnp.array([0]), jnp.zeros((1, 77, 768), dtype))['params']
+                            jnp.array([0]), jnp.zeros((1, 77, ctx_dim), dtype),
+                            **init_kw)['params']
+    _v('UNet init done')
     vcfg = VAEConfig.sd()
     vae = AutoencoderKL(vcfg, dtype=dtype)
     vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
@@ -59,8 +89,8 @@ def main():
     unet_params = cast(unet_params)
     vae_params = cast(vae_params)
 
-    def unet_apply(p, x, t, ctx):
-        return unet.apply({'params': p}, x, t, ctx)
+    def unet_apply(p, x, t, ctx, **kw):
+        return unet.apply({'params': p}, x, t, ctx, **kw)
 
     schedule = NoiseSchedule.make()
     sampler = make_sampler('dpm++_2m', schedule, steps)
@@ -69,16 +99,26 @@ def main():
     decode = jax.jit(lambda p, z: vae.apply(
         {'params': p}, z / vcfg.scaling_factor, method='decode'))
 
-    ctx = jax.random.normal(jax.random.PRNGKey(3), (2 * batch, 77, 768)).astype(dtype)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2 * batch, 77, ctx_dim)).astype(dtype)
     latents = jax.random.normal(jax.random.PRNGKey(4), (batch, lat, lat, 4))
+    extra = None
+    if model == 'sdxl':
+        extra = dict(
+            pooled_text_emb=jax.random.normal(
+                jax.random.PRNGKey(5), (2 * batch, 1280)).astype(dtype),
+            time_ids=jnp.tile(jnp.array([[size, size, 0, 0, size, size]],
+                                        jnp.float32), (2 * batch, 1)))
 
     def one_gen(seed):
-        out, _ = loop(unet_params, latents, ctx, jax.random.PRNGKey(seed), 7.5)
+        out, _ = loop(unet_params, latents, ctx, jax.random.PRNGKey(seed), 7.5,
+                      extra_cond=extra)
         img = decode(vae_params, out)
         return img
 
     # warmup/compile
+    _v('compiling denoise loop + decode')
     one_gen(0).block_until_ready()
+    _v('compile done; timing')
 
     n_iters = int(os.environ.get('BENCH_ITERS', '3'))
     t0 = time.perf_counter()
@@ -88,11 +128,13 @@ def main():
     dt = time.perf_counter() - t0
     img_per_s = (batch * n_iters) / dt
 
+    name = 'SDXL' if model == 'sdxl' else 'SD1.5'
+    baseline = BASELINES.get((model, size))
     print(json.dumps({
-        'metric': f'SD1.5 {size}px {steps}-step txt2img (CFG, DPM++ 2M, bf16)',
+        'metric': f'{name} {size}px {steps}-step txt2img (CFG, DPM++ 2M, bf16)',
         'value': round(img_per_s, 4),
         'unit': 'images/sec/chip',
-        'vs_baseline': round(img_per_s / BASELINE_IMG_PER_S, 4),
+        'vs_baseline': round(img_per_s / baseline, 4) if baseline else None,
     }))
 
 

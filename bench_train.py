@@ -1,12 +1,17 @@
 """Secondary headline benchmark: SD1.5 LoRA fine-tune samples/sec/chip
 (ARB-style 512px latents, Min-SNR loss, cached latents — the BASELINE.md
 training metric). Prints ONE JSON line like bench.py.
+
+BENCH_MODEL=sdxl switches to SDXL-LoRA at 1024px latents (dual-TE encode,
+pooled + time_ids conditioning — the trainer/step.py SDXL path). Its
+baseline: SDXL has ~6x SD1.5's per-sample UNet FLOPs at 1024px, so the
+A100+xFormers estimate scales 6.0 -> ~1.0 samples/s.
 """
 import json
 import os
 import time
 
-BASELINE_SAMPLES_PER_S = 6.0  # A100+xFormers SD1.5 LoRA bs=4 estimate
+BASELINES = {'sd15': 6.0, 'sdxl': 1.0}  # A100+xFormers LoRA estimates
 
 
 def main():
@@ -32,18 +37,31 @@ def main():
                                           init_train_state)
     from hcpdiff_tpu.utils.clip_tokenizer import CLIPTokenizer
 
-    B = int(os.environ.get('BENCH_BATCH', '8'))
-    lat = int(os.environ.get('BENCH_SIZE', '512')) // 8
+    model = os.environ.get('BENCH_MODEL', 'sd15')
+    sdxl = model == 'sdxl'
+    B = int(os.environ.get('BENCH_BATCH', '4' if sdxl else '8'))
+    lat = int(os.environ.get('BENCH_SIZE', '1024' if sdxl else '512')) // 8
     dtype = jnp.bfloat16
 
-    ucfg = UNetConfig.sd15()
+    ucfg = UNetConfig.sdxl() if sdxl else UNetConfig.sd15()
+    ctx_dim = 2048 if sdxl else 768
     unet = UNet2DCondition(ucfg, dtype=dtype, remat=True)
+    init_kw = {}
+    if sdxl:
+        init_kw = dict(pooled_text_emb=jnp.zeros((1, 1280)),
+                       time_ids=jnp.zeros((1, 6)))
     unet_params = unet.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, lat, lat, 4)), jnp.array([0]),
-                            jnp.zeros((1, 77, 768)))['params']
+                            jnp.zeros((1, 77, ctx_dim)), **init_kw)['params']
     tcfg = CLIPTextConfig.sd15()
     te = CLIPTextModel(tcfg, dtype=jnp.float32)
     te_params = te.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))['params']
+    te2 = te2_params = None
+    if sdxl:
+        from hcpdiff_tpu.models.clip import CLIPTextConfig as _TC
+        te2 = CLIPTextModel(_TC.sdxl_big_g(), dtype=jnp.float32)
+        te2_params = te2.init(jax.random.PRNGKey(4),
+                              jnp.zeros((1, 77), jnp.int32))['params']
 
     schedule = NoiseSchedule.make()
     overlay, scales = make_lora_overlay(
@@ -55,10 +73,25 @@ def main():
     def unet_apply(p, x, t, ctx, **e):
         return unet.apply({'params': p}, x, t, ctx, **e)
 
-    def te_encode(p, ids, tm, ext):
-        last, pooled, _ = te.apply({'params': p}, ids, emb_ext=ext,
-                                   embedding_multiplier=tm)
-        return last, pooled
+    if sdxl:
+        from hcpdiff_tpu.models.text_frontend import TextEncoderFrontend
+
+        class _Tok:  # encode_ids only reads model_max_length
+            model_max_length = 77
+        fe1 = TextEncoderFrontend(_Tok(), te, te_params, clip_skip=1,
+                                  clip_final_norm=False)
+        fe2 = TextEncoderFrontend(_Tok(), te2, te2_params, clip_skip=1,
+                                  clip_final_norm=False)
+
+        def te_encode(p, ids, tm, ext):
+            h1, _ = fe1.encode_ids(p['te'], ids, tm)
+            h2, pooled = fe2.encode_ids(p['te2'], ids, tm)
+            return jnp.concatenate([h1, h2], axis=-1), pooled
+    else:
+        def te_encode(p, ids, tm, ext):
+            last, pooled, _ = te.apply({'params': p}, ids, emb_ext=ext,
+                                       embedding_multiplier=tm)
+            return last, pooled
 
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     step = jax.jit(build_train_step(unet_apply, te_encode, schedule,
@@ -67,12 +100,18 @@ def main():
                    donate_argnums=(0,))
     state = init_train_state(pack, tx)
     frozen = {'unet': unet_params, 'te': te_params}
+    if sdxl:
+        frozen['te2'] = te2_params
 
     rng = np.random.default_rng(0)
     batch = {'latents': jnp.asarray(rng.normal(size=(B, lat, lat, 4)),
                                     jnp.float32),
              'input_ids': jnp.asarray(rng.integers(0, 49405, size=(B, 77)),
                                       jnp.int32)}
+    if sdxl:
+        size = lat * 8
+        batch['time_ids'] = jnp.tile(
+            jnp.array([[size, size, 0, 0, size, size]], jnp.float32), (B, 1))
 
     state, m = step(state, frozen, batch, jax.random.PRNGKey(1))  # compile
     jax.block_until_ready(m)
@@ -84,10 +123,11 @@ def main():
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
     sps = B * iters / dt
+    name = 'SDXL' if sdxl else 'SD1.5'
     print(json.dumps({
-        'metric': 'SD1.5 512px LoRA fine-tune (Min-SNR, bf16, remat)',
+        'metric': f'{name} {lat * 8}px LoRA fine-tune (Min-SNR, bf16, remat)',
         'value': round(sps, 4), 'unit': 'samples/sec/chip',
-        'vs_baseline': round(sps / BASELINE_SAMPLES_PER_S, 4)}))
+        'vs_baseline': round(sps / BASELINES[model], 4)}))
 
 
 if __name__ == '__main__':
