@@ -64,10 +64,14 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             sk_ok = Sk % 128 == 0 or Sk <= DEFAULT_BLOCK_K
         else:
             sk_ok = Sk == Sq
+        # D cap 512 covers VAE mid-block attention (H=1, D=512): shapes whose
+        # K/V would not fit VMEM-resident auto-route to the K-streaming
+        # kernel inside _flash_forward, so SDXL-1024 decode (S=16384) never
+        # materializes the [S,S] logits (4.3GB fp32 under the XLA path).
         use_flash = (jax.default_backend() == 'tpu' and bias is None
                      and Sq >= threshold and Sq % 128 == 0 and sk_ok
                      and (Sk == Sq or not causal)  # kernel causal mask assumes aligned seqs
-                     and q.shape[-1] <= 256)
+                     and q.shape[-1] <= 512)
     if use_flash:
         try:
             from .flash_attention import flash_attention
