@@ -158,9 +158,15 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+def _pallas_backend() -> bool:
+    """Pallas GEMM routing needs the TPU backend; HCP_PALLAS_FORCE=1 lets
+    CPU tests exercise the routing under pltpu.force_tpu_interpret_mode()."""
+    return (jax.default_backend() == 'tpu'
+            or os.environ.get('HCP_PALLAS_FORCE', '0') == '1')
+
+
 def _pallas_proj() -> bool:
-    return (os.environ.get('HCP_PALLAS_PROJ', '0') == '1'
-            and jax.default_backend() == 'tpu')
+    return os.environ.get('HCP_PALLAS_PROJ', '0') == '1' and _pallas_backend()
 
 
 def _pallas_ff() -> bool:
@@ -169,16 +175,23 @@ def _pallas_ff() -> bool:
     ff.out fusions ~3x at level 0 (ROUND_NOTES round-3). HCP_PALLAS_FF=0
     disables; HCP_PALLAS_PROJ=1 additionally routes proj_in/out + to_out."""
     return _pallas_proj() or (os.environ.get('HCP_PALLAS_FF', '1') == '1'
-                              and jax.default_backend() == 'tpu')
+                              and _pallas_backend())
 
 
-def _proj_dense(x, features, dtype, name):
-    """Dense with bias, Pallas-GEMM-routed when HCP_PALLAS_PROJ=1."""
+def _proj_dense(x, features, dtype, name, res=None):
+    """Dense with bias, Pallas-GEMM-routed when HCP_PALLAS_PROJ=1.
+
+    ``res`` (same shape as the output) is a residual added to the result —
+    inside the Pallas epilogue when routed (a separate add over the opaque
+    pallas_call boundary costs a full HBM round-trip), as a plain XLA add
+    otherwise (where the compiler fuses it into the producer)."""
     if _pallas_proj():
         from ..ops.matmul import fused_dense
         k, b = _DenseParams(features, name=name)(x.shape[-1])
-        return fused_dense(x.astype(dtype), k.astype(dtype), b.astype(dtype))
-    return _dense(features, dtype, name)(x)
+        return fused_dense(x.astype(dtype), k.astype(dtype), b.astype(dtype),
+                           res=res)
+    out = _dense(features, dtype, name)(x)
+    return out if res is None else out + res
 
 
 class CrossAttention(nn.Module):
@@ -190,7 +203,8 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
-                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 bias: Optional[jnp.ndarray] = None,
+                 res: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         ctx = x if context is None else context
         B, S, _ = x.shape
         Sk = ctx.shape[1]
@@ -222,7 +236,7 @@ class CrossAttention(nn.Module):
         v = v.reshape(B, Sk, h, d).transpose(0, 2, 1, 3)
         o = attention(q, k, v, bias=bias)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, self.query_dim)
-        return _proj_dense(o, self.query_dim, self.dtype, 'to_out')
+        return _proj_dense(o, self.query_dim, self.dtype, 'to_out', res=res)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -231,7 +245,8 @@ class GEGLUFeedForward(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 res: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         inner = self.dim * self.mult
         if _pallas_ff() or os.environ.get('HCP_PALLAS_GEGLU', '0') == '1':
             # Both halves through pallas: geglu's h*gelu(gate) fused into the
@@ -240,6 +255,7 @@ class GEGLUFeedForward(nn.Module):
             # a transposed {1,2,0} layout at ~38 TF/s vs our ~157 TF/s).
             # Measured 3.06 img/s vs 2.94 XLA vs 2.87 pallas-out-only —
             # splitting the pair reintroduces layout copies at the boundary.
+            # The block residual rides the out-GEMM epilogue (res=).
             from ..ops.matmul import fused_dense, geglu_dense
             k, b = _DenseParams(inner * 2, name='proj')(x.shape[-1])
             h = geglu_dense(x.astype(self.dtype), k.astype(self.dtype),
@@ -247,12 +263,14 @@ class GEGLUFeedForward(nn.Module):
             if _pallas_ff():
                 ko, bo = _DenseParams(self.dim, name='out')(h.shape[-1])
                 return fused_dense(h, ko.astype(self.dtype),
-                                   bo.astype(self.dtype))
-            return _dense(self.dim, self.dtype, 'out')(h)
+                                   bo.astype(self.dtype), res=res)
+            out = _dense(self.dim, self.dtype, 'out')(h)
+            return out if res is None else out + res
         h = _dense(inner * 2, self.dtype, 'proj')(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * jax.nn.gelu(gate, approximate=False)
-        return _dense(self.dim, self.dtype, 'out')(h)
+        out = _dense(self.dim, self.dtype, 'out')(h)
+        return out if res is None else out + res
 
 
 class BasicTransformerBlock(nn.Module):
@@ -265,11 +283,16 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
                  context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=name)
-        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype,
-                               name='attn1')(ln('norm1')(x))
-        x = x + CrossAttention(self.dim, self.heads, self.context_dim, dtype=self.dtype,
-                               name='attn2')(ln('norm2')(x), context, bias=context_bias)
-        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name='ff')(ln('norm3')(x))
+        # block residuals ride the output-projection epilogues (res=):
+        # math is identical to `x + sublayer(ln(x))`, but the Pallas-routed
+        # projections absorb the add so it never crosses the HBM boundary
+        x = CrossAttention(self.dim, self.heads, dtype=self.dtype,
+                           name='attn1')(ln('norm1')(x), res=x)
+        x = CrossAttention(self.dim, self.heads, self.context_dim, dtype=self.dtype,
+                           name='attn2')(ln('norm2')(x), context,
+                                         bias=context_bias, res=x)
+        x = GEGLUFeedForward(self.dim, dtype=self.dtype,
+                             name='ff')(ln('norm3')(x), res=x)
         return x
 
 
@@ -303,8 +326,11 @@ class Transformer2D(nn.Module):
                                       dtype=self.dtype,
                                       name=f'transformer_blocks_{i}')(h, context, context_bias)
         if _pallas_proj():
-            h = _proj_dense(h, self.channels, self.dtype, 'proj_out')
-            return h.reshape(B, H, W, C) + residual
+            # NHWC->[B,HW,C] reshape is a free contiguous merge, so the
+            # spatial residual can ride the proj_out epilogue too
+            h = _proj_dense(h, self.channels, self.dtype, 'proj_out',
+                            res=residual.reshape(B, H * W, C))
+            return h.reshape(B, H, W, C)
         if os.environ.get('HCP_TFM_4D', '1') == '1':
             h = _dense(self.channels, self.dtype, 'proj_out')(h.reshape(B, H, W, C))
             return h + residual

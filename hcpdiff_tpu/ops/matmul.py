@@ -52,23 +52,37 @@ def _pick(m: int, pref: int, quantum: int = 128) -> int:
 DEFAULT_BK = int(os.environ.get('HCP_PROJ_BK', '1280'))
 
 
-def _dense_kernel_kres(x_ref, w_ref, b_ref, o_ref, *, use_bias: bool):
+def _dense_kernel_kres(x_ref, w_ref, b_ref, *rest, use_bias: bool,
+                       use_res: bool):
     """K-resident GEMM tile: one dot straight to the output block (every
     SD1.5/SDXL projection except ff.out has K <= 1280 — no accumulator
-    round-trip needed)."""
+    round-trip needed). With ``use_res`` the residual tile is added in the
+    epilogue — Pallas calls are opaque to XLA fusion, so a separate
+    ``x + proj(x)`` add would cost a full extra HBM read+write of the
+    activation (the round-2 trace showed ~358ms of bare residual adds)."""
+    if use_res:
+        r_ref, o_ref = rest
+    else:
+        o_ref, = rest
     acc = jax.lax.dot_general(x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if use_bias:
         acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+    if use_res:
+        acc = acc + r_ref[...].astype(jnp.float32)
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _dense_kernel_kstream(x_ref, w_ref, b_ref, o_ref, acc_ref, *, num_k: int,
-                          use_bias: bool):
+def _dense_kernel_kstream(x_ref, w_ref, b_ref, *rest, num_k: int,
+                          use_bias: bool, use_res: bool):
     """K-streaming GEMM: grid (M, N, K) with the fp32 accumulator in
     scratch across the sequential K dimension (ff.out at the C=1280 UNet
     levels has K=5120 — a K-resident [BM,K] x block blows the 16MB scoped
     VMEM)."""
+    if use_res:
+        r_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -84,6 +98,8 @@ def _dense_kernel_kstream(x_ref, w_ref, b_ref, o_ref, acc_ref, *, num_k: int,
         acc = acc_ref[...]
         if use_bias:
             acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+        if use_res:
+            acc = acc + r_ref[...].astype(jnp.float32)
         o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -111,7 +127,7 @@ def _auto_dense_blocks(M, K, N, itemsize):
     return 1024, 1280
 
 
-def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0):
+def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0, res=None):
     M, K = x2.shape
     N = w.shape[1]
     if bm == DEFAULT_BM and not bk:
@@ -128,9 +144,15 @@ def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0):
         b = jnp.zeros((1, N), x2.dtype)
     else:
         b = b.reshape(1, N)
+    use_res = res is not None
+    operands = [x2, w, b] + ([res] if use_res else [])
+    io_bytes = (M * K + K * N + (1 + use_res) * M * N) * x2.dtype.itemsize
     if bk >= K:
+        res_specs = [pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM)] if use_res else []
         return pl.pallas_call(
-            functools.partial(_dense_kernel_kres, use_bias=use_bias),
+            functools.partial(_dense_kernel_kres, use_bias=use_bias,
+                              use_res=use_res),
             grid=(M // bm, N // bn),
             in_specs=[
                 pl.BlockSpec((bm, K), lambda i, j: (i, 0),
@@ -139,7 +161,7 @@ def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bn), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + res_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
@@ -148,12 +170,14 @@ def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0):
                 vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
                 flops=2 * M * N * K,
-                bytes_accessed=(M * K + K * N + M * N) * x2.dtype.itemsize,
+                bytes_accessed=io_bytes,
                 transcendentals=0),
-        )(x2, w, b)
+        )(*operands)
+    res_specs = [pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                              memory_space=pltpu.VMEM)] if use_res else []
     return pl.pallas_call(
         functools.partial(_dense_kernel_kstream, num_k=K // bk,
-                          use_bias=use_bias),
+                          use_bias=use_bias, use_res=use_res),
         grid=(M // bm, N // bn, K // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
@@ -162,7 +186,7 @@ def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + res_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
@@ -172,9 +196,9 @@ def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0):
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=(M * K + K * N + M * N) * x2.dtype.itemsize,
+            bytes_accessed=io_bytes,
             transcendentals=0),
-    )(x2, w, b)
+    )(*operands)
 
 
 @functools.lru_cache(maxsize=16)
@@ -202,16 +226,50 @@ def _make_fused_dense(bm: int, bn: int, bk: int = 0):
     return fn
 
 
+@functools.lru_cache(maxsize=16)
+def _make_fused_dense_res(bm: int, bn: int, bk: int = 0):
+    """fused_dense variant with a residual added in the GEMM epilogue
+    (out = x@w + b + res). Residual grad is the pass-through cotangent."""
+    @jax.custom_vjp
+    def fn(x, w, b, r):
+        shape = x.shape
+        x2 = x.reshape(-1, shape[-1])
+        out = _matmul_2d(x2, w, b, bm, bn, bk,
+                         res=r.reshape(-1, r.shape[-1]))
+        return out.reshape(shape[:-1] + (w.shape[1],))
+
+    def fwd(x, w, b, r):
+        return fn(x, w, b, r), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        g2 = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+        dx = (g2 @ w.astype(jnp.float32).T).reshape(x.shape).astype(x.dtype)
+        dw = (x2.T @ g2).astype(w.dtype)
+        db = jnp.sum(g2, axis=0).astype(w.dtype)
+        return dx, dw, db, g
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def fused_dense(x: jnp.ndarray, w: jnp.ndarray,
                 b: Optional[jnp.ndarray] = None,
                 bm: int = DEFAULT_BM, bn: int = DEFAULT_BN,
-                bk: int = 0) -> jnp.ndarray:
-    """[..., K] @ [K, N] (+ bias) via the Pallas tiled GEMM."""
-    fn = _make_fused_dense(bm, bn, bk)
+                bk: int = 0, res: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """[..., K] @ [K, N] (+ bias) (+ residual) via the Pallas tiled GEMM.
+
+    ``res`` (same shape as the output) is added inside the kernel epilogue;
+    use it for the transformer residual connections so the add never costs
+    a separate HBM round-trip over the Pallas-call fusion boundary."""
     if b is None:
         # bias handled as zeros inside; grads for it are discarded by caller
         b = jnp.zeros((w.shape[1],), x.dtype)
-    return fn(x, w, b)
+    if res is not None:
+        return _make_fused_dense_res(bm, bn, bk)(x, w, b,
+                                                 res.astype(x.dtype))
+    return _make_fused_dense(bm, bn, bk)(x, w, b)
 
 
 def _erf(x):

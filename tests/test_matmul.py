@@ -96,9 +96,46 @@ def test_geglu_grads():
                                    atol=1e-2, rtol=1e-3)
 
 
+@pytest.mark.parametrize('bk', [0, 32])
+def test_fused_dense_residual(bk):
+    """Epilogue residual: out = x@w + b + res, both K-resident (bk=0 auto)
+    and K-streaming (bk=32 forces the accumulator path)."""
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 128, 96), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(11), (96, 160), jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(12), (160,), jnp.float32)
+    r = jax.random.normal(jax.random.PRNGKey(13), (2, 128, 160), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_dense(x, w, b, bk=bk, res=r)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_dense(x, w, b) + r),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fused_dense_residual_grads():
+    x = jax.random.normal(jax.random.PRNGKey(14), (32, 48), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(15), (48, 64), jnp.float32) * 0.1
+    b = jnp.ones((64,), jnp.float32) * 0.1
+    r = jax.random.normal(jax.random.PRNGKey(16), (32, 64), jnp.float32)
+
+    def loss_pallas(x, w, b, r):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_dense(x, w, b, res=r) ** 2)
+
+    def loss_ref(x, w, b, r):
+        return jnp.sum((_ref_dense(x, w, b) + r) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, w, b, r)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, b, r)
+    for a, r_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r_),
+                                   atol=1e-2, rtol=1e-3)
+
+
 def test_unet_pallas_proj_parity(monkeypatch):
     """HCP_PALLAS_PROJ=1 must produce the exact param pytree and matching
-    outputs of the nn.Dense path."""
+    outputs of the nn.Dense path (exercises the epilogue-residual routing
+    in BasicTransformerBlock/Transformer2D too). HCP_PALLAS_FORCE lets the
+    routing activate on the CPU backend under interpret mode."""
     from hcpdiff_tpu.models.unet import UNetConfig, UNet2DCondition
     cfg = UNetConfig.tiny()
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
@@ -107,11 +144,13 @@ def test_unet_pallas_proj_parity(monkeypatch):
                           (2, 77, cfg.cross_attention_dim))
 
     monkeypatch.setenv('HCP_PALLAS_PROJ', '0')
+    monkeypatch.setenv('HCP_PALLAS_FF', '0')
     model = UNet2DCondition(cfg, dtype=jnp.float32)
     p0 = model.init(jax.random.PRNGKey(2), x, t, c)['params']
     o0 = model.apply({'params': p0}, x, t, c)
 
     monkeypatch.setenv('HCP_PALLAS_PROJ', '1')
+    monkeypatch.setenv('HCP_PALLAS_FORCE', '1')
     with pltpu.force_tpu_interpret_mode():
         p1 = model.init(jax.random.PRNGKey(2), x, t, c)['params']
         o1 = model.apply({'params': p1}, x, t, c)
