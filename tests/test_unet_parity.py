@@ -84,6 +84,39 @@ def test_denoise_loop_per_step_latents_match_torch():
                                    err_msg=f'step {i}')
 
 
+def test_full_unet_forward_matches_torch_tiny_sdxl():
+    """SDXL text_time conditioning parity: pooled_text_emb + time_ids
+    through add_embedding (reference: diffusers UNet add_embedding reached
+    via hcpdiff models/compose SDXL wrappers)."""
+    cfg = UNetConfig.tiny_sdxl()
+    unet = UNet2DCondition(cfg, dtype=jnp.float32)
+    B = 2
+    pooled0 = jnp.zeros((1, 24))
+    tid0 = jnp.zeros((1, 6))
+    params = unet.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 8, 8, cfg.in_channels)), jnp.array([0]),
+                       jnp.zeros((1, 77, cfg.cross_attention_dim)),
+                       pooled_text_emb=pooled0, time_ids=tid0)['params']
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rngs = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [l + 0.02 * jax.random.normal(r, l.shape)
+              for l, r in zip(leaves, rngs)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (B, 77, cfg.cross_attention_dim))
+    t = jnp.array([500, 10])
+    pooled = jax.random.normal(jax.random.PRNGKey(4), (B, 24))
+    time_ids = jnp.asarray([[128., 128., 0., 0., 128., 128.],
+                            [64., 64., 8., 8., 64., 64.]])
+    ours = np.asarray(unet.apply({'params': params}, x, t, ctx,
+                                 pooled_text_emb=pooled, time_ids=time_ids))
+    ref = torch_unet_forward(jax.device_get(params), cfg, x, t, ctx,
+                             pooled_text_emb=pooled, time_ids=time_ids)
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(os.environ.get('HCP_RUN_SLOW') != '1',
                     reason='>20 min of single-CPU compile+compute on this '

@@ -91,8 +91,13 @@ def _transformer2d(x, ctx, p, heads, depth, groups):
 
 
 @torch.no_grad()
-def torch_unet_forward(params, cfg, sample, timesteps, ctx):
-    """sample: [B,H,W,C] (NHWC like ours), ctx: [B,S,D] — returns NHWC."""
+def torch_unet_forward(params, cfg, sample, timesteps, ctx,
+                       pooled_text_emb=None, time_ids=None):
+    """sample: [B,H,W,C] (NHWC like ours), ctx: [B,S,D] — returns NHWC.
+
+    SDXL text_time conditioning (reference: diffusers add_embedding;
+    hcpdiff SDXL wrapper models/compose) via pooled_text_emb [B,1280-like]
+    + time_ids [B,6]."""
     p = params
     x = _t(sample).permute(0, 3, 1, 2)
     ctx = _t(ctx)
@@ -103,6 +108,16 @@ def torch_unet_forward(params, cfg, sample, timesteps, ctx):
     temb = _timestep_embedding(t, cfg.block_out_channels[0])
     temb = _dense(temb, p['time_embedding_linear_1'])
     temb = _dense(F.silu(temb), p['time_embedding_linear_2'])
+
+    if getattr(cfg, 'addition_embed_type', None) == 'text_time':
+        B = x.shape[0]
+        tid = torch.tensor(np.asarray(time_ids)).reshape(-1)
+        t_emb = _timestep_embedding(tid, cfg.addition_time_embed_dim)
+        t_emb = t_emb.reshape(B, -1)
+        add = torch.cat([_t(pooled_text_emb).float(), t_emb], dim=-1)
+        add = _dense(add, p['add_embedding_linear_1'])
+        add = _dense(F.silu(add), p['add_embedding_linear_2'])
+        temb = temb + add
 
     x = _conv(x, p['conv_in'])
     skips = [x]
