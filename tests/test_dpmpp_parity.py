@@ -176,3 +176,111 @@ def _vp_dpmpp_2m_grid(eps_fn, x_vp, model_ts, sig_k, steps):
         x0_prev = x0
         xs.append(x_vp.copy())
     return xs
+
+
+# ---------------------------------------------------------------- UniPC ----
+
+def _vp_unipc_bh2(eps_fn, x_vp, ts, acp, steps):
+    """Independent numpy UniPC (bh2, order 2, data prediction, corrector
+    enabled), VP parametrization — written from the UniPC paper's B(h)
+    tables / diffusers UniPCMultistepScheduler semantics (model_outputs
+    list + one corrector per step), NOT from our sampler. Final step uses
+    the same x0 clamp our sampler (and k-diffusion) applies at sigma=0.
+
+    Returns per-step vp latents."""
+    alpha = np.sqrt(acp)
+    sigma = np.sqrt(1.0 - acp)
+    lam = np.log(alpha) - np.log(sigma)
+    xs = []
+    m_list = []          # x0 predictions at visited nodes
+    t_list = []
+    last_sample = None
+    for i in range(steps):
+        t = int(ts[i])
+        a_t, s_t, l_t = alpha[t], sigma[t], lam[t]
+        eps = eps_fn(x_vp, t)
+        m_t = (x_vp - s_t * eps) / a_t
+
+        # ---- corrector on the current sample (uni_c, order<=2) ----
+        if last_sample is not None:
+            s0 = t_list[-1]
+            a0, sg0, l0 = alpha[s0], sigma[s0], lam[s0]
+            h = l_t - l0
+            hh = -h
+            phi1 = np.expm1(hh)
+            B_h = phi1                       # bh2
+            m0 = m_list[-1]
+            d1_t = m_t - m0
+            if len(m_list) >= 2:
+                s1 = t_list[-2]
+                r1 = (lam[s1] - l0) / h
+                d1_prev = (m_list[-2] - m0) / r1
+                phi2 = phi1 / hh - 1.0
+                phi3 = phi2 / hh - 0.5
+                b0 = phi2 / B_h
+                b1 = 2.0 * phi3 / B_h
+                # solve [[1,1],[r1,1]] rhos = [b0,b1]
+                rho0 = (b0 - b1) / (1.0 - r1)
+                rho1 = b0 - rho0
+                corr = rho0 * d1_prev + rho1 * d1_t
+            else:
+                corr = 0.5 * d1_t
+            x_vp = ((s_t / sg0) * last_sample - a_t * phi1 * m0
+                    - a_t * B_h * corr)
+            # recompute x0 at the corrected sample? diffusers does NOT:
+            # the corrector only refines the sample; m_t stays.
+
+        m_list.append(m_t)
+        t_list.append(t)
+        last_sample = x_vp
+
+        # ---- predictor to the next node (uni_p, order<=2) ----
+        if i + 1 < steps:
+            tn = int(ts[i + 1])
+            a_n, s_n, l_n = alpha[tn], sigma[tn], lam[tn]
+            h = l_n - l_t
+            hh = -h
+            phi1 = np.expm1(hh)
+            x_pred = (s_n / s_t) * x_vp - a_n * phi1 * m_t
+            if len(m_list) >= 2:
+                s1 = t_list[-2]
+                r1 = (lam[s1] - l_t) / h
+                d1 = (m_list[-2] - m_t) / r1
+                x_pred = x_pred - a_n * phi1 * 0.5 * d1   # bh2 order-2
+            x_vp = x_pred
+        else:
+            x_vp = m_t      # sigma -> 0 clamp (matches our sampler)
+        xs.append(x_vp.copy())
+    return xs
+
+
+def test_unipc_matches_independent_vp_formulation():
+    schedule = NoiseSchedule.make()
+    steps = 12
+    sampler = make_sampler('unipc', schedule, steps)
+    acp = np.asarray(schedule.alphas_cumprod, np.float64)
+    ts = np.asarray(sampler.timesteps)
+    alpha = np.sqrt(acp)
+
+    rng = np.random.default_rng(2)
+    A = rng.normal(size=(8, 8)) * 0.3
+
+    def eps_fn(x_model, t):
+        return np.tanh(x_model @ A) + 0.01 * t / 1000.0
+
+    x_k0 = rng.normal(size=(4, 8))
+    x_k = jnp.asarray(x_k0, jnp.float32) * sampler.init_noise_sigma
+    st = sampler.init_state(x_k.shape)
+    ours_vp = []
+    for i in range(steps):
+        xin = sampler.scale_model_input(st, x_k, jnp.asarray(i))
+        eps = jnp.asarray(eps_fn(np.asarray(xin, np.float64), int(ts[i])),
+                          jnp.float32)
+        x_k, st, _ = sampler.step(st, eps, jnp.asarray(i), x_k)
+        a_next = alpha[int(ts[i + 1])] if i + 1 < steps else 1.0
+        ours_vp.append(np.asarray(x_k, np.float64) * a_next)
+
+    x_vp = (x_k0 * sampler.init_noise_sigma) * alpha[int(ts[0])]
+    ref_vp = _vp_unipc_bh2(eps_fn, x_vp, ts, acp, steps)
+    for i, (a, b) in enumerate(zip(ours_vp, ref_vp)):
+        np.testing.assert_allclose(a, b, atol=3e-4, err_msg=f'step {i}')
