@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-3 measurement matrix — run sequentially on the real chip.
+# Usage: bash tools_dev/bench_matrix_r3.sh [outfile]
+# Each line of output: tag + the bench JSON (or FAIL).
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/bench_matrix_r3.log}"
+: > "$OUT"
+
+run() {  # tag, timeout_s, env pairs..., -- cmd...
+  local tag="$1"; shift
+  local to="$1"; shift
+  echo "=== $tag ($(date +%H:%M:%S)) ===" | tee -a "$OUT"
+  timeout "$to" env "$@" 2>>"$OUT" | tail -1 | tee -a "$OUT"
+  echo "--- exit $? ---" >> "$OUT"
+}
+
+# 1. headline (default config: pallas ff + VAE flash + residual epilogue)
+run headline            2400 BENCH_VERBOSE=1 python bench.py
+# 2. proj routing on top (to_out/proj_in/proj_out through Pallas)
+run pallas_proj         2400 BENCH_VERBOSE=1 HCP_PALLAS_PROJ=1 python bench.py
+# 3. GN barrier A/B (re-test under the new kernel mix)
+run gn_barrier          2400 BENCH_VERBOSE=1 HCP_GN_BARRIER=1 python bench.py
+# 4. training headline (re-measure with pallas ff default + residual fusion)
+run train               2400 python bench_train.py
+# 5. 768px (streaming flash + new VAE flash decode)
+run sd15_768            3000 BENCH_VERBOSE=1 BENCH_SIZE=768 BENCH_BATCH=4 python bench.py
+# 6. SDXL 1024 inference (big compile; generous timeout)
+run sdxl_1024           5400 BENCH_VERBOSE=1 BENCH_MODEL=sdxl python bench.py
+# 7. SDXL LoRA training
+run sdxl_train          5400 BENCH_MODEL=sdxl python bench_train.py
+
+echo "DONE $(date)" | tee -a "$OUT"
