@@ -178,6 +178,31 @@ def _pallas_ff() -> bool:
                               and _pallas_backend())
 
 
+def _pallas_ln() -> bool:
+    """LayerNorm-fused projection kernels (ln+qkv, ln+q, ln+geglu): the
+    sublayer LN runs in the GEMM prologue, so neither the normalized
+    activation (HBM round-trip) nor — for self-attention — two of the
+    three q/k/v input reads ever touch HBM. Three separate output buffers
+    avoid the strided-split copies that sank the one-matmul fused-QKV
+    experiment (ROUND2_NOTES). Opt-in (HCP_PALLAS_LN=1) until measured."""
+    return (os.environ.get('HCP_PALLAS_LN', '0') == '1'
+            and _pallas_backend())
+
+
+class _LNParams(nn.Module):
+    """scale+bias params matching ``nn.LayerNorm`` paths/init exactly, for
+    folding the norm into a Pallas GEMM prologue while checkpoints keep
+    seeing an ordinary LayerNorm module."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        g = self.param('scale', nn.initializers.ones, (features,),
+                       jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (features,),
+                       jnp.float32)
+        return g, b
+
+
 def _proj_dense(x, features, dtype, name, res=None):
     """Dense with bias, Pallas-GEMM-routed when HCP_PALLAS_PROJ=1.
 
@@ -204,13 +229,33 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
                  bias: Optional[jnp.ndarray] = None,
-                 res: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 res: Optional[jnp.ndarray] = None,
+                 ln: Optional[tuple] = None) -> jnp.ndarray:
         ctx = x if context is None else context
         B, S, _ = x.shape
         Sk = ctx.shape[1]
         h = self.heads
         d = self.query_dim // h
-        if os.environ.get('HCP_FUSED_QKV', '0') == '1':
+        if ln is not None:
+            # LayerNorm fused into the projection prologue (HCP_PALLAS_LN):
+            # x arrives UN-normalized; ln = (scale, bias) from _LNParams.
+            # eps matches nn.LayerNorm's flax default (1e-6).
+            from ..ops.matmul import ln_dense, ln_qkv
+            g_ln, b_ln = ln
+            wq = _DenseKernel(self.query_dim, name='to_q')(x.shape[-1])
+            wk = _DenseKernel(self.query_dim, name='to_k')(ctx.shape[-1])
+            wv = _DenseKernel(self.query_dim, name='to_v')(ctx.shape[-1])
+            xb = x.astype(self.dtype)
+            if context is None:
+                q, k, v = ln_qkv(xb, g_ln, b_ln, wq.astype(self.dtype),
+                                 wk.astype(self.dtype),
+                                 wv.astype(self.dtype), eps=1e-6)
+            else:
+                q = ln_dense(xb, g_ln, b_ln, wq.astype(self.dtype), eps=1e-6)
+                cb = ctx.astype(self.dtype)
+                k = cb @ wk.astype(self.dtype)
+                v = cb @ wv.astype(self.dtype)
+        elif os.environ.get('HCP_FUSED_QKV', '0') == '1':
             # one matmul reads x once instead of three times (self-attn), or
             # ctx once for k/v (cross-attn). Measured SLOWER whole-loop on
             # v5e (2.833 vs 2.929 img/s): the fused [B,S,3C] output splits
@@ -246,8 +291,20 @@ class GEGLUFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 res: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 res: Optional[jnp.ndarray] = None,
+                 ln: Optional[tuple] = None) -> jnp.ndarray:
         inner = self.dim * self.mult
+        if ln is not None:
+            # norm3 + GEGLU + out-projection (+ block residual), all Pallas
+            from ..ops.matmul import fused_dense, ln_geglu
+            g_ln, b_ln = ln
+            k, b = _DenseParams(inner * 2, name='proj')(x.shape[-1])
+            h = ln_geglu(x.astype(self.dtype), g_ln, b_ln,
+                         k.astype(self.dtype), b.astype(self.dtype),
+                         eps=1e-6)
+            ko, bo = _DenseParams(self.dim, name='out')(h.shape[-1])
+            return fused_dense(h, ko.astype(self.dtype),
+                               bo.astype(self.dtype), res=res)
         if _pallas_ff() or os.environ.get('HCP_PALLAS_GEGLU', '0') == '1':
             # Both halves through pallas: geglu's h*gelu(gate) fused into the
             # GEMM epilogue (the [.., 2*inner] intermediate never reaches
@@ -282,6 +339,21 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
                  context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if _pallas_ln():
+            # LNs fold into the projection prologues; params declared via
+            # _LNParams so the tree matches nn.LayerNorm exactly
+            g1, b1 = _LNParams(name='norm1')(self.dim)
+            x = CrossAttention(self.dim, self.heads, dtype=self.dtype,
+                               name='attn1')(x, res=x, ln=(g1, b1))
+            g2, b2 = _LNParams(name='norm2')(self.dim)
+            x = CrossAttention(self.dim, self.heads, self.context_dim,
+                               dtype=self.dtype,
+                               name='attn2')(x, context, bias=context_bias,
+                                             res=x, ln=(g2, b2))
+            g3, b3 = _LNParams(name='norm3')(self.dim)
+            x = GEGLUFeedForward(self.dim, dtype=self.dtype,
+                                 name='ff')(x, res=x, ln=(g3, b3))
+            return x
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=name)
         # block residuals ride the output-projection epilogues (res=):
         # math is identical to `x + sublayer(ln(x))`, but the Pallas-routed

@@ -375,3 +375,283 @@ def geglu_dense(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     fused so the doubled intermediate never leaves VMEM. w: [K, 2*inner],
     b: [2*inner]; returns [..., inner]."""
     return _make_geglu_dense(bm, bn)(x, w, b)
+
+
+# ------------------------------------------------- LayerNorm-fused GEMMs ----
+# The transformer sublayers each do LayerNorm(x) -> projection(s). Fusing
+# the LN into the GEMM prologue saves (a) the LN output's HBM round-trip
+# (~80MB per level-0 block) and (b) for self-attention, reading the
+# normalized tile once instead of three times for q/k/v. Three separate
+# output buffers avoid the strided-split copies that made the round-2
+# fused-QKV (one [.., 3C] matmul) SLOWER (ROUND2_NOTES late experiments).
+
+
+def _ln_rows(x, g, b, eps):
+    """Row LayerNorm of a [bm, K] fp32 tile; g/b: [1, K]."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _ln_qkv_kernel(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref,
+                   q_ref, k_ref, v_ref, *, eps: float):
+    xn = _ln_rows(x_ref[...].astype(jnp.float32),
+                  g_ref[0].astype(jnp.float32)[None, :],
+                  b_ref[0].astype(jnp.float32)[None, :], eps)
+    xn = xn.astype(x_ref.dtype)
+    for w_ref, o_ref in ((wq_ref, q_ref), (wk_ref, k_ref), (wv_ref, v_ref)):
+        acc = jax.lax.dot_general(xn, w_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _ln_qkv_2d(x2, g, b, wq, wk, wv, eps, bm):
+    M, K = x2.shape
+    N = wq.shape[1]
+    bm = _pick(M, bm)
+    it = x2.dtype.itemsize
+    # x + 3 w (K-resident) + 3 out blocks, double-buffered x/outs
+    while bm > 128 and (2 * bm * K + 3 * K * N + 6 * bm * N) * it \
+            > _VMEM_BUDGET:
+        bm = _pick(M, bm // 2)
+    spec_w = pl.BlockSpec((K, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bm, N), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((M, N), x2.dtype)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, eps=eps),
+        grid=(M // bm,),
+        in_specs=[pl.BlockSpec((bm, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  spec_v, spec_v, spec_w, spec_w, spec_w],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[shape, shape, shape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * M * N * K,
+            bytes_accessed=(M * K + 3 * K * N + 3 * M * N) * it,
+            transcendentals=0),
+    )(x2, g.reshape(1, K), b.reshape(1, K), wq, wk, wv)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_ln_qkv(eps: float, bm: int):
+    def _ref(x, g, b, wq, wk, wv):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32)
+              + b.astype(jnp.float32)).astype(x.dtype)
+        f32 = jnp.float32
+        return tuple((xn.astype(f32) @ w.astype(f32)).astype(x.dtype)
+                     for w in (wq, wk, wv))
+
+    @jax.custom_vjp
+    def fn(x, g, b, wq, wk, wv):
+        shape = x.shape
+        x2 = x.reshape(-1, shape[-1])
+        q, k, v = _ln_qkv_2d(x2, g, b, wq, wk, wv, eps, bm)
+        out_shape = shape[:-1] + (wq.shape[1],)
+        return (q.reshape(out_shape), k.reshape(out_shape),
+                v.reshape(out_shape))
+
+    def fwd(x, g, b, wq, wk, wv):
+        return fn(x, g, b, wq, wk, wv), (x, g, b, wq, wk, wv)
+
+    def bwd(res, cot):
+        _, vjp = jax.vjp(_ref, *res)
+        return vjp(cot)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def ln_qkv(x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+           wq: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray,
+           eps: float = 1e-5, bm: int = 1024):
+    """LayerNorm + three bias-free projections of the SAME normalized
+    tile (self-attention q/k/v), one x read, three output buffers."""
+    return _make_ln_qkv(float(eps), bm)(x, ln_scale, ln_bias, wq, wk, wv)
+
+
+def _ln_geglu_kernel(x_ref, g_ref, b_ref, wh_ref, wg_ref, bb_ref, o_ref, *,
+                     eps: float):
+    xn = _ln_rows(x_ref[...].astype(jnp.float32),
+                  g_ref[0].astype(jnp.float32)[None, :],
+                  b_ref[0].astype(jnp.float32)[None, :], eps)
+    xn = xn.astype(x_ref.dtype)
+    h = jax.lax.dot_general(xn, wh_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    gt = jax.lax.dot_general(xn, wg_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h = h + bb_ref[0].astype(jnp.float32)[None, :]
+    gt = gt + bb_ref[1].astype(jnp.float32)[None, :]
+    gelu = gt * 0.5 * (1.0 + _erf(gt * 0.7071067811865475))
+    o_ref[...] = (h * gelu).astype(o_ref.dtype)
+
+
+def _ln_geglu_2d(x2, g, b, w, bb, eps, bm, bn):
+    M, K = x2.shape
+    inner = w.shape[1] // 2
+    if bm == DEFAULT_BM and bn == DEFAULT_BN:
+        bm, bn = 1024, (inner if inner <= 1280 else 512)
+    bm = _pick(M, bm)
+    bn = _pick(inner, bn)
+    it = x2.dtype.itemsize
+
+    def _bytes(bm, bn):
+        return (bm * K + 4 * K * bn + 2 * bm * bn) * it
+
+    while bn > 256 and _bytes(bm, bn) > _VMEM_BUDGET:
+        bn = _pick(inner, bn // 2)
+    while bm > 128 and _bytes(bm, bn) > _VMEM_BUDGET:
+        bm = _pick(M, bm // 2)
+    b2 = jnp.stack([bb[:inner], bb[inner:]], axis=0)
+    nblocks = inner // bn
+    spec_v = pl.BlockSpec((1, K), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_geglu_kernel, eps=eps),
+        grid=(M // bm, nblocks),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            spec_v, spec_v,
+            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j, nb=nblocks: (0, j + nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, inner), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel'),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * inner * K,
+            bytes_accessed=(M * K + 2 * K * inner + M * inner) * it,
+            transcendentals=M * inner),
+    )(x2, g.reshape(1, K), b.reshape(1, K), w, w, b2)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_ln_geglu(eps: float, bm: int, bn: int):
+    def _ref(x, g, b, w, bb):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = xc * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) \
+            + b.astype(jnp.float32)
+        y = xn @ w.astype(jnp.float32) + bb.astype(jnp.float32)
+        h, gate = jnp.split(y, 2, axis=-1)
+        return (h * jax.nn.gelu(gate, approximate=False)).astype(x.dtype)
+
+    @jax.custom_vjp
+    def fn(x, g, b, w, bb):
+        shape = x.shape
+        out = _ln_geglu_2d(x.reshape(-1, shape[-1]), g, b, w, bb, eps,
+                           bm, bn)
+        return out.reshape(shape[:-1] + (w.shape[1] // 2,))
+
+    def fwd(x, g, b, w, bb):
+        return fn(x, g, b, w, bb), (x, g, b, w, bb)
+
+    def bwd(res, cot):
+        _, vjp = jax.vjp(_ref, *res)
+        return vjp(cot)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def ln_geglu(x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+             w: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5,
+             bm: int = DEFAULT_BM, bn: int = DEFAULT_BN) -> jnp.ndarray:
+    """LayerNorm + GEGLU front half in one kernel (ff.norm3 + ff.proj +
+    h*gelu(gate)): neither the normalized x nor the [.., 2*inner]
+    intermediate ever reaches HBM."""
+    return _make_ln_geglu(float(eps), bm, bn)(x, ln_scale, ln_bias, w, b)
+
+
+def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, o_ref, *, eps: float):
+    xn = _ln_rows(x_ref[...].astype(jnp.float32),
+                  g_ref[0].astype(jnp.float32)[None, :],
+                  b_ref[0].astype(jnp.float32)[None, :], eps)
+    acc = jax.lax.dot_general(xn.astype(x_ref.dtype), w_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_ln_dense(eps: float, bm: int):
+    def _ref(x, g, b, w):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32)
+              + b.astype(jnp.float32)).astype(x.dtype)
+        return (xn.astype(jnp.float32) @ w.astype(jnp.float32)).astype(x.dtype)
+
+    @jax.custom_vjp
+    def fn(x, g, b, w):
+        shape = x.shape
+        x2 = x.reshape(-1, shape[-1])
+        M, K = x2.shape
+        N = w.shape[1]
+        bm_ = _pick(M, bm)
+        it = x2.dtype.itemsize
+        while bm_ > 128 and (2 * bm_ * K + K * N + 2 * bm_ * N) * it \
+                > _VMEM_BUDGET:
+            bm_ = _pick(M, bm_ // 2)
+        out = pl.pallas_call(
+            functools.partial(_ln_dense_kernel, eps=eps),
+            grid=(M // bm_,),
+            in_specs=[
+                pl.BlockSpec((bm_, K), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, N), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm_, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel',),
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=(M * K + K * N + M * N) * it,
+                transcendentals=0),
+        )(x2, g.reshape(1, K), b.reshape(1, K), w)
+        return out.reshape(shape[:-1] + (N,))
+
+    def fwd(x, g, b, w):
+        return fn(x, g, b, w), (x, g, b, w)
+
+    def bwd(res, cot):
+        _, vjp = jax.vjp(_ref, *res)
+        return vjp(cot)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def ln_dense(x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+             w: jnp.ndarray, eps: float = 1e-5, bm: int = 1024) -> jnp.ndarray:
+    """LayerNorm + one bias-free projection (cross-attention to_q)."""
+    return _make_ln_dense(float(eps), bm)(x, ln_scale, ln_bias, w)
