@@ -68,10 +68,15 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # K/V would not fit VMEM-resident auto-route to the K-streaming
         # kernel inside _flash_forward, so SDXL-1024 decode (S=16384) never
         # materializes the [S,S] logits (4.3GB fp32 under the XLA path).
+        # Opt-in (HCP_FLASH_VAE=1) until validated on hardware: interpret-
+        # mode numerics pass, but the axon terminal was lost mid-round-3
+        # before the first real-chip compile of the D=512 streaming shape
+        # could complete, so the default stays on the proven D<=256 gate.
+        d_cap = 512 if os.environ.get('HCP_FLASH_VAE', '0') == '1' else 256
         use_flash = (jax.default_backend() == 'tpu' and bias is None
                      and Sq >= threshold and Sq % 128 == 0 and sk_ok
                      and (Sk == Sq or not causal)  # kernel causal mask assumes aligned seqs
-                     and q.shape[-1] <= 512)
+                     and q.shape[-1] <= d_cap)
     if use_flash:
         try:
             from .flash_attention import flash_attention

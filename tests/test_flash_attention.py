@@ -262,9 +262,11 @@ def test_resident_estimate_routes_large_seq_to_streaming():
 
 
 def test_flash_vae_head_dim_512_streams():
-    """VAE mid-block attention (H=1, D=512): the dispatcher now admits
-    D=512, and the big-S shapes route to the K-streaming kernel instead of
-    the VMEM-resident one (which cannot hold K/V at D=512, S>=4096)."""
+    """VAE mid-block attention (H=1, D=512) under HCP_FLASH_VAE=1: the
+    dispatcher admits D=512 and big-S shapes route to the K-streaming
+    kernel instead of the VMEM-resident one (which cannot hold K/V at
+    D=512, S>=4096). Opt-in until validated on real hardware (the axon
+    terminal was lost mid-round-3 before the first D=512 compile)."""
     from hcpdiff_tpu.ops.flash_attention import (_SCOPED_VMEM_BUDGET,
                                                  _resident_fwd_bytes)
     # SD 512px decode: S=4096; SDXL-1024 decode: S=16384 — both stream
@@ -272,14 +274,3 @@ def test_flash_vae_head_dim_512_streams():
     # numeric check at a small-but-streaming shape (interpret mode)
     out, ref = _run(B=1, H=1, Sq=256, Sk=256, D=512)
     np.testing.assert_allclose(out, ref, atol=2e-5)
-
-
-def test_attention_dispatch_admits_d512(monkeypatch):
-    """attention() auto-select must enable flash for the VAE shape on TPU
-    (checked via the gate logic itself; backend is cpu here so we assert
-    the D filter no longer rejects 512)."""
-    from hcpdiff_tpu.ops import attention as attn_mod
-    # replicate the gate terms for the VAE decode shape
-    Sq = Sk = 4096
-    D = 512
-    assert Sq >= 1024 and Sq % 128 == 0 and Sk == Sq and D <= 512
