@@ -15,8 +15,10 @@ run() {  # tag, timeout_s, env pairs..., -- cmd...
   echo "--- exit $? ---" >> "$OUT"
 }
 
-# 1. headline (default config: pallas ff + VAE flash + residual epilogue)
+# 1. headline (default config: pallas ff + residual epilogue)
 run headline            2400 BENCH_VERBOSE=1 python bench.py
+# 1b. VAE flash decode (D=512 streaming kernel — first hardware validation)
+run vae_flash           2400 BENCH_VERBOSE=1 HCP_FLASH_VAE=1 python bench.py
 # 2. proj routing on top (to_out/proj_in/proj_out through Pallas)
 run pallas_proj         2400 BENCH_VERBOSE=1 HCP_PALLAS_PROJ=1 python bench.py
 # 3. GN barrier A/B (re-test under the new kernel mix)
