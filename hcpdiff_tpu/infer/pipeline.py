@@ -23,13 +23,23 @@ from ..diffusion.schedules import NoiseSchedule
 
 
 class DenoiseLoop:
-    """Compiled CFG denoise loop for one (sampler, steps) setting."""
+    """Compiled CFG denoise loop for one (sampler, steps) setting.
+
+    ``deep_cache_interval > 1`` enables DeepCache-style acceleration
+    (PAPERS.md 'Cache Me if You Can' / DeepCache): the UNet's deep levels
+    run only every Nth step; in between, the cached deep feature is
+    spliced in and only the shallowest down level + last up level
+    recompute (models/unet.py deep_cache protocol). Both step variants
+    live in one ``lax.cond`` inside the scan, so the whole accelerated
+    loop is still a single compiled program. Opt-in — outputs change
+    (slightly) vs the exact loop."""
 
     def __init__(self, unet_apply: Callable, sampler: BaseSampler,
-                 return_x0_every: int = 0):
+                 return_x0_every: int = 0, deep_cache_interval: int = 0):
         self.unet_apply = unet_apply
         self.sampler = sampler
         self.return_x0_every = return_x0_every
+        self.deep_cache_interval = int(deep_cache_interval)
         self._jitted = jax.jit(self._run, static_argnames=('cfg_batch',))
 
     def _run(self, unet_params, latents, ctx, rng, guidance_scale,
@@ -47,37 +57,86 @@ class DenoiseLoop:
         state = sampler.init_state(latents.shape)
         extra = extra_cond or {}
 
+        dc = self.deep_cache_interval
+        if dc > 1 and unet_params_neg is not None:
+            raise ValueError('deep_cache_interval is incompatible with the '
+                             'DreamArtist dual-branch loop')
+
+        def guidance(out):
+            if cfg_batch:
+                e_neg, e_pos = jnp.split(out, 2, axis=0)
+                return e_neg + guidance_scale * (e_pos - e_neg)
+            return out
+
+        def model_in(x_in, t):
+            if cfg_batch:
+                return (jnp.concatenate([x_in, x_in], axis=0),
+                        jnp.full((2 * B,), t))
+            return x_in, jnp.full((B,), t)
+
         def body(carry, i):
             lat, st, r = carry
             r, sub = jax.random.split(r)
             x_in = sampler.scale_model_input(st, lat, i)
             t = sampler.timesteps[i]
-            if cfg_batch:
-                if unet_params_neg is not None:
-                    ctx_n, ctx_p = jnp.split(ctx, 2, axis=0)
-                    tB = jnp.full((B,), t)
-                    # extra_cond arrives CFG-doubled; the DA branch runs the
-                    # halves separately, so split matching leading dims
-                    def half(e, idx):
-                        return {k: (jnp.split(v, 2, axis=0)[idx]
-                                    if hasattr(v, 'ndim') and v.ndim > 0
-                                    and v.shape[0] == 2 * B else v)
-                                for k, v in e.items()}
-                    e_neg = self.unet_apply(unet_params_neg, x_in, tB, ctx_n,
-                                            **half(extra, 0))
-                    e_pos = self.unet_apply(unet_params, x_in, tB, ctx_p,
-                                            **half(extra, 1))
-                else:
-                    x2 = jnp.concatenate([x_in, x_in], axis=0)
-                    t2 = jnp.full((2 * B,), t)
-                    out = self.unet_apply(unet_params, x2, t2, ctx, **extra)
-                    e_neg, e_pos = jnp.split(out, 2, axis=0)
+            if cfg_batch and unet_params_neg is not None:
+                ctx_n, ctx_p = jnp.split(ctx, 2, axis=0)
+                tB = jnp.full((B,), t)
+                # extra_cond arrives CFG-doubled; the DA branch runs the
+                # halves separately, so split matching leading dims
+                def half(e, idx):
+                    return {k: (jnp.split(v, 2, axis=0)[idx]
+                                if hasattr(v, 'ndim') and v.ndim > 0
+                                and v.shape[0] == 2 * B else v)
+                            for k, v in e.items()}
+                e_neg = self.unet_apply(unet_params_neg, x_in, tB, ctx_n,
+                                        **half(extra, 0))
+                e_pos = self.unet_apply(unet_params, x_in, tB, ctx_p,
+                                        **half(extra, 1))
                 eps = e_neg + guidance_scale * (e_pos - e_neg)
             else:
-                eps = self.unet_apply(unet_params, x_in, jnp.full((B,), t), ctx,
-                                      **extra)
+                x2, t2 = model_in(x_in, t)
+                eps = guidance(self.unet_apply(unet_params, x2, t2, ctx,
+                                               **extra))
             lat, st, x0 = sampler.step(st, eps, i, lat, sub)
             return (lat, st, r), x0 if self.return_x0_every else jnp.zeros((0,))
+
+        def body_dc(carry, i):
+            lat, st, r, cache = carry
+            r, sub = jax.random.split(r)
+            x_in = sampler.scale_model_input(st, lat, i)
+            t = sampler.timesteps[i]
+            x2, t2 = model_in(x_in, t)
+
+            def full_step(x2, t2, cache):
+                out, deep = self.unet_apply(unet_params, x2, t2, ctx,
+                                            return_deep=True, **extra)
+                return out, deep.astype(cache.dtype)
+
+            def reuse_step(x2, t2, cache):
+                out = self.unet_apply(unet_params, x2, t2, ctx,
+                                      deep_cache=cache, **extra)
+                return out, cache
+
+            out, cache = jax.lax.cond(i % dc == 0, full_step, reuse_step,
+                                      x2, t2, cache)
+            eps = guidance(out)
+            lat, st, x0 = sampler.step(st, eps, i, lat, sub)
+            return (lat, st, r, cache), (x0 if self.return_x0_every
+                                         else jnp.zeros((0,)))
+
+        if dc > 1:
+            # deep-feature shape via abstract evaluation (no FLOPs)
+            x2s, t2s = model_in(latents, sampler.timesteps[0])
+            _, deep_s = jax.eval_shape(
+                lambda p, x, t, c: self.unet_apply(p, x, t, c,
+                                                   return_deep=True, **extra),
+                unet_params, x2s, t2s, ctx)
+            cache0 = jnp.zeros(deep_s.shape, deep_s.dtype)
+            (latents, _, _, _), x0s = jax.lax.scan(
+                body_dc, (latents, state, rng, cache0),
+                jnp.arange(sampler.num_steps))
+            return latents, x0s
 
         (latents, _, _), x0s = jax.lax.scan(
             body, (latents, state, rng), jnp.arange(sampler.num_steps))
@@ -122,12 +181,14 @@ class DiffusionPipeline:
             {'params': p}, x, method='encode'))
 
     def _loop(self, sampler_name: str, steps: int, return_x0: bool = False,
-              **kw) -> DenoiseLoop:
-        key = (sampler_name, steps, return_x0, tuple(sorted(kw.items())))
+              deep_cache_interval: int = 0, **kw) -> DenoiseLoop:
+        key = (sampler_name, steps, return_x0, deep_cache_interval,
+               tuple(sorted(kw.items())))
         if key not in self._loops:
             sampler = make_sampler(sampler_name, self.schedule, steps, **kw)
-            self._loops[key] = DenoiseLoop(self.unet_apply, sampler,
-                                           return_x0_every=int(return_x0))
+            self._loops[key] = DenoiseLoop(
+                self.unet_apply, sampler, return_x0_every=int(return_x0),
+                deep_cache_interval=deep_cache_interval)
         return self._loops[key]
 
     use_encoder_attention_mask: bool = False
@@ -151,7 +212,8 @@ class DiffusionPipeline:
                 seed: int = 0, batch_size: int = 1, emb_ext=None,
                 extra_cond=None, sampler_kwargs: Optional[dict] = None,
                 return_latents: bool = False,
-                return_x0_history: bool = False):
+                return_x0_history: bool = False,
+                deep_cache_interval: int = 0):
         prompts = [prompt] * batch_size if isinstance(prompt, str) else list(prompt)
         negs = ([negative_prompt] * len(prompts)
                 if isinstance(negative_prompt, str) else list(negative_prompt))
@@ -179,6 +241,7 @@ class DiffusionPipeline:
         rng, r_init, r_loop = jax.random.split(rng, 3)
         latents = jax.random.normal(r_init, (B, h, w, self.latent_channels))
         loop = self._loop(sampler, num_steps, return_x0=return_x0_history,
+                          deep_cache_interval=int(deep_cache_interval),
                           **(sampler_kwargs or {}))
         latents, x0s = loop(self.unet_params, latents, ctx, r_loop,
                             guidance_scale, extra_cond=extra_cond,

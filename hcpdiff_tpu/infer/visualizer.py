@@ -383,6 +383,10 @@ class Visualizer:
             skw['use_karras_sigmas'] = True
         if skw:
             common['sampler_kwargs'] = skw
+        if ia.get('deep_cache_interval') and mode in ('t2i', 'txt2img'):
+            # DeepCache acceleration (infer_args.deep_cache_interval: N —
+            # deep UNet levels run every Nth step; opt-in, approximate)
+            common['deep_cache_interval'] = int(ia['deep_cache_interval'])
         # ControlNet condition image (reference ex_input + ControlNetProcessor,
         # visualizer.py:180-183)
         ex_input = self.cfgs.get('ex_input')

@@ -447,7 +447,23 @@ class UNet2DCondition(nn.Module):
                  time_ids: Optional[jnp.ndarray] = None,
                  encoder_attention_mask: Optional[jnp.ndarray] = None,
                  down_residuals: Optional[Sequence[jnp.ndarray]] = None,
-                 mid_residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mid_residual: Optional[jnp.ndarray] = None,
+                 deep_cache: Optional[jnp.ndarray] = None,
+                 return_deep: bool = False):
+        """Standard full forward, plus the DeepCache protocol (arXiv
+        2312.00858-style; retrieved as PAPERS.md 'Cache Me if You Can'):
+
+        - ``return_deep=True``: also return the deep feature entering the
+          LAST up level (after the previous level's upsample) — everything
+          below the shallowest resolution summarized in one tensor.
+        - ``deep_cache=<that tensor>``: recompute ONLY the shallowest down
+          level and the last up level, splicing the cached deep feature in
+          place of levels >= 1 + mid. Temporal redundancy of deep UNet
+          features across denoise steps makes this nearly lossless for
+          small reuse intervals (opt-in, changes outputs — see
+          docs/en/performance.md).
+
+        Both modes keep the exact same param tree as the full pass."""
         c = self.cfg
         Res = self._maybe_remat(ResnetBlock2D)
         Tfm = self._maybe_remat(Transformer2D)
@@ -481,10 +497,17 @@ class UNet2DCondition(nn.Module):
         x = sample.astype(self.dtype)
         x = _conv(c.block_out_channels[0], 3, self.dtype, 'conv_in')(x)
 
+        shallow_only = deep_cache is not None
+        if shallow_only:
+            assert down_residuals is None and mid_residual is None, \
+                'deep_cache is incompatible with ControlNet residual taps'
+
         # --- down blocks ---
         skips = [x]
         n_blocks = len(c.block_out_channels)
         for bi, (btype, out_c) in enumerate(zip(c.down_block_types, c.block_out_channels)):
+            if shallow_only and bi > 0:
+                break
             for li in range(c.layers_per_block):
                 x = Res(out_c, c.norm_num_groups, dtype=self.dtype,
                         name=f'down_{bi}_res_{li}')(x, temb)
@@ -495,46 +518,69 @@ class UNet2DCondition(nn.Module):
                             dtype=self.dtype,
                             name=f'down_{bi}_attn_{li}')(x, ctx, ctx_bias)
                 skips.append(x)
-            if bi < n_blocks - 1:
+            if bi < n_blocks - 1 and not shallow_only:
                 x = Downsample2D(out_c, dtype=self.dtype, name=f'down_{bi}_downsample')(x)
                 skips.append(x)
 
-        # ControlNet taps: residuals added to every skip + mid
-        if down_residuals is not None:
-            skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_residuals)]
-            x = skips[-1] if len(down_residuals) == len(skips) else x
-
-        # --- mid ---
-        mid_c = c.block_out_channels[-1]
-        x = Res(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_res_0')(x, temb)
-        if c.mid_cross_attn:
-            x = Tfm(mid_c, c.num_heads[-1],
-                    c.transformer_layers_per_block[-1],
-                    c.cross_attention_dim, c.norm_num_groups,
-                    dtype=self.dtype, name='mid_attn')(x, ctx, ctx_bias)
-        x = Res(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_res_1')(x, temb)
-        if mid_residual is not None:
-            x = x + mid_residual.astype(x.dtype)
-
-        # --- up blocks ---
         rev_channels = list(reversed(c.block_out_channels))
-        for bi, btype in enumerate(c.up_block_types):
-            out_c = rev_channels[bi]
-            for li in range(c.layers_per_block + 1):
-                skip = skips.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = Res(out_c, c.norm_num_groups, dtype=self.dtype,
-                        name=f'up_{bi}_res_{li}')(x, temb)
-                if btype == 'CrossAttnUpBlock2D':
-                    x = Tfm(out_c, c.num_heads[len(rev_channels) - 1 - bi],
-                            c.transformer_layers_per_block[len(rev_channels) - 1 - bi],
-                            c.cross_attention_dim, c.norm_num_groups,
-                            dtype=self.dtype,
-                            name=f'up_{bi}_attn_{li}')(x, ctx, ctx_bias)
-            if bi < len(c.up_block_types) - 1:
+        deep_out = None
+        if not shallow_only:
+            # ControlNet taps: residuals added to every skip + mid
+            if down_residuals is not None:
+                skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_residuals)]
+                x = skips[-1] if len(down_residuals) == len(skips) else x
+
+            # --- mid ---
+            mid_c = c.block_out_channels[-1]
+            x = Res(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_res_0')(x, temb)
+            if c.mid_cross_attn:
+                x = Tfm(mid_c, c.num_heads[-1],
+                        c.transformer_layers_per_block[-1],
+                        c.cross_attention_dim, c.norm_num_groups,
+                        dtype=self.dtype, name='mid_attn')(x, ctx, ctx_bias)
+            x = Res(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_res_1')(x, temb)
+            if mid_residual is not None:
+                x = x + mid_residual.astype(x.dtype)
+
+            # --- deep up blocks (all but the last level) ---
+            for bi, btype in enumerate(c.up_block_types[:-1]):
+                out_c = rev_channels[bi]
+                for li in range(c.layers_per_block + 1):
+                    skip = skips.pop()
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    x = Res(out_c, c.norm_num_groups, dtype=self.dtype,
+                            name=f'up_{bi}_res_{li}')(x, temb)
+                    if btype == 'CrossAttnUpBlock2D':
+                        x = Tfm(out_c, c.num_heads[len(rev_channels) - 1 - bi],
+                                c.transformer_layers_per_block[len(rev_channels) - 1 - bi],
+                                c.cross_attention_dim, c.norm_num_groups,
+                                dtype=self.dtype,
+                                name=f'up_{bi}_attn_{li}')(x, ctx, ctx_bias)
                 x = Upsample2D(out_c, dtype=self.dtype, name=f'up_{bi}_upsample')(x)
+            deep_out = x
+        else:
+            x = deep_cache.astype(self.dtype)
+
+        # --- last up level (always recomputed; consumes the level-0 skips) ---
+        bi = len(c.up_block_types) - 1
+        btype = c.up_block_types[bi]
+        out_c = rev_channels[bi]
+        for li in range(c.layers_per_block + 1):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = Res(out_c, c.norm_num_groups, dtype=self.dtype,
+                    name=f'up_{bi}_res_{li}')(x, temb)
+            if btype == 'CrossAttnUpBlock2D':
+                x = Tfm(out_c, c.num_heads[len(rev_channels) - 1 - bi],
+                        c.transformer_layers_per_block[len(rev_channels) - 1 - bi],
+                        c.cross_attention_dim, c.norm_num_groups,
+                        dtype=self.dtype,
+                        name=f'up_{bi}_attn_{li}')(x, ctx, ctx_bias)
 
         x = GroupNorm(c.norm_num_groups, dtype=self.dtype, fused_silu=True,
                       name='conv_norm_out')(x)
         x = _conv(c.out_channels, 3, self.dtype, 'conv_out')(x)
-        return x.astype(jnp.float32)
+        out = x.astype(jnp.float32)
+        if return_deep:
+            return out, deep_out
+        return out
