@@ -94,7 +94,10 @@ def main():
 
     schedule = NoiseSchedule.make()
     sampler = make_sampler('dpm++_2m', schedule, steps)
-    loop = DenoiseLoop(unet_apply, sampler)
+    # BENCH_DEEPCACHE=N: DeepCache acceleration (approximate; NOT used for
+    # the headline — the default loop stays exact)
+    dc = int(os.environ.get('BENCH_DEEPCACHE', '0'))
+    loop = DenoiseLoop(unet_apply, sampler, deep_cache_interval=dc)
 
     decode = jax.jit(lambda p, z: vae.apply(
         {'params': p}, z / vcfg.scaling_factor, method='decode'))
@@ -129,6 +132,8 @@ def main():
     img_per_s = (batch * n_iters) / dt
 
     name = 'SDXL' if model == 'sdxl' else 'SD1.5'
+    if dc:
+        name += f' +DeepCache/{dc}'
     baseline = BASELINES.get((model, size))
     print(json.dumps({
         'metric': f'{name} {size}px {steps}-step txt2img (CFG, DPM++ 2M, bf16)',

@@ -25,6 +25,9 @@ run pallas_proj         2400 BENCH_VERBOSE=1 HCP_PALLAS_PROJ=1 python bench.py
 run gn_barrier          2400 BENCH_VERBOSE=1 HCP_GN_BARRIER=1 python bench.py
 # 3b. LN-fused projections (ln+qkv/ln+q/ln+geglu) on top of proj routing
 run pallas_ln           2400 BENCH_VERBOSE=1 HCP_PALLAS_LN=1 HCP_PALLAS_PROJ=1 python bench.py
+# 3c. DeepCache interval 2 and 3 (approximate mode; NOT the headline)
+run deepcache2          2400 BENCH_VERBOSE=1 BENCH_DEEPCACHE=2 python bench.py
+run deepcache3          2400 BENCH_VERBOSE=1 BENCH_DEEPCACHE=3 python bench.py
 # 4. training headline (re-measure with pallas ff default + residual fusion)
 run train               2400 python bench_train.py
 # 5. 768px (streaming flash + new VAE flash decode)
