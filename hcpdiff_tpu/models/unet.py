@@ -109,6 +109,31 @@ def _conv(features, kernel, dtype, name, stride=1, padding='SAME'):
                    name=name)
 
 
+def _pallas_conv() -> bool:
+    """Pallas 3x3 conv routing for the resblocks (ops/conv.py): the conv
+    gets its own high-MFU schedule instead of XLA's ~40 TF/s conv+GN-stats
+    multi-output fusions, and the time-embedding add / skip add fuse into
+    its epilogue. Opt-in (HCP_PALLAS_CONV=1) until measured."""
+    return (os.environ.get('HCP_PALLAS_CONV', '0') == '1'
+            and _pallas_backend())
+
+
+class _ConvParams(nn.Module):
+    """kernel+bias params matching ``nn.Conv`` paths/init exactly, for
+    routing 3x3 convs through the Pallas conv kernel."""
+    features: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (self.ksize, self.ksize, in_features, self.features),
+                       jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class ResnetBlock2D(nn.Module):
     out_channels: int
     groups: int
@@ -119,8 +144,22 @@ class ResnetBlock2D(nn.Module):
         in_c = x.shape[-1]
         h = GroupNorm(self.groups, dtype=self.dtype, fused_silu=True,
                       name='norm1')(x)
-        h = _conv(self.out_channels, 3, self.dtype, 'conv1')(h)
         t = _dense(self.out_channels, self.dtype, 'time_emb_proj')(jax.nn.silu(temb))
+        if _pallas_conv():
+            from ..ops.conv import conv3x3
+            k1, b1 = _ConvParams(self.out_channels, name='conv1')(h.shape[-1])
+            # time-embedding add fused into conv1's epilogue (row_bias)
+            h = conv3x3(h.astype(self.dtype), k1.astype(self.dtype),
+                        b1.astype(self.dtype), row_bias=t)
+            h = GroupNorm(self.groups, dtype=self.dtype, fused_silu=True,
+                          name='norm2')(h)
+            k2, b2 = _ConvParams(self.out_channels, name='conv2')(h.shape[-1])
+            if in_c != self.out_channels:
+                x = _conv(self.out_channels, 1, self.dtype, 'conv_shortcut')(x)
+            # skip add fused into conv2's epilogue (res)
+            return conv3x3(h, k2.astype(self.dtype), b2.astype(self.dtype),
+                           res=x.astype(self.dtype))
+        h = _conv(self.out_channels, 3, self.dtype, 'conv1')(h)
         h = h + t[:, None, None, :]
         h = GroupNorm(self.groups, dtype=self.dtype, fused_silu=True,
                       name='norm2')(h)

@@ -1,0 +1,90 @@
+"""Pallas 3x3 conv kernel tests (ops/conv.py) — interpret mode on CPU."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from hcpdiff_tpu.ops.conv import _conv3_ref, conv3x3
+
+
+@pytest.mark.parametrize('B,H,W,Cin,Cout', [(2, 8, 8, 32, 64),
+                                            (1, 16, 16, 64, 32),
+                                            (2, 8, 12, 16, 48)])
+def test_conv3x3_matches_xla(B, H, W, Cin, Cout):
+    r = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(r[0], (B, H, W, Cin), jnp.float32)
+    w = jax.random.normal(r[1], (3, 3, Cin, Cout), jnp.float32) * 0.1
+    b = jax.random.normal(r[2], (Cout,), jnp.float32) * 0.1
+    with pltpu.force_tpu_interpret_mode():
+        out = conv3x3(x, w, b)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_conv3_ref(x, w, b, None, None)),
+                               atol=3e-4, rtol=1e-4)
+
+
+def test_conv3x3_row_bias_and_res():
+    r = jax.random.split(jax.random.PRNGKey(1), 5)
+    B, H, W, Cin, Cout = 2, 8, 8, 16, 32
+    x = jax.random.normal(r[0], (B, H, W, Cin), jnp.float32)
+    w = jax.random.normal(r[1], (3, 3, Cin, Cout), jnp.float32) * 0.1
+    b = jax.random.normal(r[2], (Cout,), jnp.float32) * 0.1
+    rb = jax.random.normal(r[3], (B, Cout), jnp.float32)
+    res = jax.random.normal(r[4], (B, H, W, Cout), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = conv3x3(x, w, b, row_bias=rb, res=res)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_conv3_ref(x, w, b, rb, res)),
+                               atol=3e-4, rtol=1e-4)
+
+
+def test_conv3x3_grads():
+    r = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.normal(r[0], (1, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(r[1], (3, 3, 16, 16), jnp.float32) * 0.1
+    b = jnp.zeros((16,), jnp.float32)
+
+    def loss_pallas(x, w, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(conv3x3(x, w, b) ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(_conv3_ref(x, w, b, None, None) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, rr in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(rr),
+                                   atol=1e-2, rtol=1e-3)
+
+
+def test_unet_pallas_conv_parity(monkeypatch):
+    """HCP_PALLAS_CONV=1 must produce the exact nn.Conv param pytree and
+    matching outputs (exercises the row_bias/res epilogues in the
+    resblocks)."""
+    from hcpdiff_tpu.models.unet import UNetConfig, UNet2DCondition
+    cfg = UNetConfig.tiny()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    t = jnp.array([3, 5])
+    c = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, 77, cfg.cross_attention_dim))
+
+    monkeypatch.setenv('HCP_PALLAS_CONV', '0')
+    model = UNet2DCondition(cfg, dtype=jnp.float32)
+    p0 = model.init(jax.random.PRNGKey(2), x, t, c)['params']
+    o0 = model.apply({'params': p0}, x, t, c)
+
+    monkeypatch.setenv('HCP_PALLAS_CONV', '1')
+    monkeypatch.setenv('HCP_PALLAS_FORCE', '1')
+    with pltpu.force_tpu_interpret_mode():
+        p1 = model.init(jax.random.PRNGKey(2), x, t, c)['params']
+        o1 = model.apply({'params': p1}, x, t, c)
+
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=5e-4, rtol=1e-4)
