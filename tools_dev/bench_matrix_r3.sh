@@ -25,6 +25,10 @@ run pallas_proj         2400 BENCH_VERBOSE=1 HCP_PALLAS_PROJ=1 python bench.py
 run gn_barrier          2400 BENCH_VERBOSE=1 HCP_GN_BARRIER=1 python bench.py
 # 3b. LN-fused projections (ln+qkv/ln+q/ln+geglu) on top of proj routing
 run pallas_ln           2400 BENCH_VERBOSE=1 HCP_PALLAS_LN=1 HCP_PALLAS_PROJ=1 python bench.py
+# 3b2. Pallas conv routing (resblock conv1/conv2 + fused epilogues)
+run pallas_conv         2400 BENCH_VERBOSE=1 HCP_PALLAS_CONV=1 python bench.py
+# 3b3. everything: conv + proj + LN together
+run pallas_all          2400 BENCH_VERBOSE=1 HCP_PALLAS_CONV=1 HCP_PALLAS_PROJ=1 HCP_PALLAS_LN=1 python bench.py
 # 3c. DeepCache interval 2 and 3 (approximate mode; NOT the headline)
 run deepcache2          2400 BENCH_VERBOSE=1 BENCH_DEEPCACHE=2 python bench.py
 run deepcache3          2400 BENCH_VERBOSE=1 BENCH_DEEPCACHE=3 python bench.py
