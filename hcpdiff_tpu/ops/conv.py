@@ -77,6 +77,10 @@ def _conv3_pallas(x, w, b, row_bias, res, bn_pref: int = 512):
     Wp = W + 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     xp = xp.reshape(B, (H + 2) * Wp, Cin)
+    # the junk-column positions of the last taps (r0 up to 2*Wp+2) read up
+    # to 2 flat rows past (H+2)*Wp — pad 8 zero rows (sublane-aligned);
+    # those lanes only feed the x>=W columns the epilogue slices away
+    xp = jnp.pad(xp, ((0, 0), (0, 8), (0, 0)))
     w9 = w.reshape(9, Cin, Cout)
     use_bias = b is not None
     use_row_bias = row_bias is not None
@@ -94,7 +98,7 @@ def _conv3_pallas(x, w, b, row_bias, res, bn_pref: int = 512):
         bn = _pick(Cout, bn // 2)
 
     in_specs = [
-        pl.BlockSpec((1, (H + 2) * Wp, Cin), lambda bi, j: (bi, 0, 0),
+        pl.BlockSpec((1, (H + 2) * Wp + 8, Cin), lambda bi, j: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((9, Cin, bn), lambda bi, j: (0, 0, j),
                      memory_space=pltpu.VMEM),

@@ -88,3 +88,35 @@ def test_unet_pallas_conv_parity(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
                                atol=5e-4, rtol=1e-4)
+
+
+def test_unet_all_pallas_kernels_compose(monkeypatch):
+    """All opt-in Pallas routings together (conv + proj + LN) must still
+    match the plain path — catches interaction bugs between the fused
+    epilogues/prologues."""
+    from hcpdiff_tpu.models.unet import UNetConfig, UNet2DCondition
+    cfg = UNetConfig.tiny()
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+    t = jnp.array([40])
+    c = jax.random.normal(jax.random.PRNGKey(8),
+                          (1, 77, cfg.cross_attention_dim))
+
+    for k in ('HCP_PALLAS_CONV', 'HCP_PALLAS_PROJ', 'HCP_PALLAS_LN',
+              'HCP_PALLAS_FORCE'):
+        monkeypatch.setenv(k, '0')
+    monkeypatch.setenv('HCP_PALLAS_FF', '0')
+    model = UNet2DCondition(cfg, dtype=jnp.float32)
+    p0 = model.init(jax.random.PRNGKey(9), x, t, c)['params']
+    o0 = model.apply({'params': p0}, x, t, c)
+
+    for k in ('HCP_PALLAS_CONV', 'HCP_PALLAS_PROJ', 'HCP_PALLAS_LN',
+              'HCP_PALLAS_FORCE'):
+        monkeypatch.setenv(k, '1')
+    with pltpu.force_tpu_interpret_mode():
+        p1 = model.init(jax.random.PRNGKey(9), x, t, c)['params']
+        o1 = model.apply({'params': p1}, x, t, c)
+
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=1e-3, rtol=1e-4)
