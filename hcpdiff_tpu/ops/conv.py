@@ -178,6 +178,32 @@ def _make_conv3(use_bias: bool, use_row_bias: bool, use_res: bool,
     return fn
 
 
+def _fits(B, H, W, Cin, Cout, itemsize, use_res) -> bool:
+    """Minimal VMEM footprint (bn=128) of the per-image-resident design —
+    oversized shapes (VAE 512x512 decode, SDXL-1024 level 0) fall back to
+    the XLA conv until an H-blocked kernel variant exists."""
+    Wp = W + 2
+    bn = 128
+    return ((H + 2) * Wp * Cin * itemsize + 9 * Cin * bn * itemsize
+            + H * Wp * bn * 4 + 2 * H * W * bn * itemsize
+            + (2 * H * W * bn * itemsize if use_res else 0)) <= _VMEM_BUDGET
+
+
+def _conv3_xla(x, w, b, row_bias, res):
+    """XLA fallback in caller dtype (fp32 accumulation like nn.Conv)."""
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    if row_bias is not None:
+        out = out + row_bias.astype(jnp.float32)[:, None, None, :]
+    if res is not None:
+        out = out + res.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def conv3x3(x: jnp.ndarray, w: jnp.ndarray,
             b: Optional[jnp.ndarray] = None,
             row_bias: Optional[jnp.ndarray] = None,
@@ -186,9 +212,12 @@ def conv3x3(x: jnp.ndarray, w: jnp.ndarray,
     """3x3 stride-1 SAME conv, NHWC; w: [3, 3, Cin, Cout].
 
     ``row_bias`` [B, Cout] and ``res`` [B, H, W, Cout] fuse the resblock's
-    time-embedding add / skip add into the epilogue."""
+    time-embedding add / skip add into the epilogue. Shapes whose padded
+    image does not fit the VMEM-resident design route to the XLA conv."""
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
+    if not _fits(B, H, W, Cin, Cout, x.dtype.itemsize, res is not None):
+        return _conv3_xla(x, w.reshape(3, 3, Cin, Cout), b, row_bias, res)
     zb = jnp.zeros((Cout,), x.dtype)
     zrb = jnp.zeros((B, Cout), x.dtype)
     zr = jnp.zeros((B, H, W, Cout), x.dtype)
