@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .matmul import _VMEM_LIMIT, _pick
+from .matmul import _VMEM_LIMIT, _pick, _pl_call
 
 _VMEM_BUDGET = 20 * 1024 * 1024
 
@@ -118,7 +118,7 @@ def _conv3_pallas(x, w, b, row_bias, res, bn_pref: int = 512):
         operands.append(res.astype(x.dtype))
 
     flops = 2 * B * H * W * 9 * Cin * Cout
-    out = pl.pallas_call(
+    out = _pl_call(
         functools.partial(_conv3_kernel, H=H, W=W, use_bias=use_bias,
                           use_row_bias=use_row_bias, use_res=use_res),
         grid=(B, Cout // bn),

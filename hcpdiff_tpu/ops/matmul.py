@@ -31,6 +31,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BM = int(os.environ.get('HCP_PROJ_BM', '512'))
+
+
+def _pl_call(*args, **kw):
+    """pallas_call that self-selects interpret mode off-TPU, so the CPU
+    test suite exercises these kernels under any transform (value_and_grad,
+    remat, scan) without needing the force_tpu_interpret_mode context to
+    be active at lowering time."""
+    import jax as _jax
+    kw.setdefault('interpret', _jax.default_backend() != 'tpu')
+    return pl.pallas_call(*args, **kw)
+
 DEFAULT_BN = int(os.environ.get('HCP_PROJ_BN', '512'))
 
 
@@ -150,7 +161,7 @@ def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0, res=None):
     if bk >= K:
         res_specs = [pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                   memory_space=pltpu.VMEM)] if use_res else []
-        return pl.pallas_call(
+        return _pl_call(
             functools.partial(_dense_kernel_kres, use_bias=use_bias,
                               use_res=use_res),
             grid=(M // bm, N // bn),
@@ -175,7 +186,7 @@ def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0, res=None):
         )(*operands)
     res_specs = [pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                               memory_space=pltpu.VMEM)] if use_res else []
-    return pl.pallas_call(
+    return _pl_call(
         functools.partial(_dense_kernel_kstream, num_k=K // bk,
                           use_bias=use_bias, use_res=use_res),
         grid=(M // bm, N // bn, K // bk),
@@ -316,7 +327,7 @@ def _geglu_2d(x2, w, b, bm: int, bn: int):
         bm = _pick(M, bm // 2)
     b2 = jnp.stack([b[:inner], b[inner:]], axis=0)  # [2, inner]
     nblocks = inner // bn
-    return pl.pallas_call(
+    return _pl_call(
         _geglu_kernel,
         grid=(M // bm, nblocks),
         in_specs=[
@@ -420,7 +431,7 @@ def _ln_qkv_2d(x2, g, b, wq, wk, wv, eps, bm):
     out_spec = pl.BlockSpec((bm, N), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((M, N), x2.dtype)
-    return pl.pallas_call(
+    return _pl_call(
         functools.partial(_ln_qkv_kernel, eps=eps),
         grid=(M // bm,),
         in_specs=[pl.BlockSpec((bm, K), lambda i: (i, 0),
@@ -515,7 +526,7 @@ def _ln_geglu_2d(x2, g, b, w, bb, eps, bm, bn):
     nblocks = inner // bn
     spec_v = pl.BlockSpec((1, K), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pl_call(
         functools.partial(_ln_geglu_kernel, eps=eps),
         grid=(M // bm, nblocks),
         in_specs=[
@@ -614,7 +625,7 @@ def _make_ln_dense(eps: float, bm: int):
         while bm_ > 128 and (2 * bm_ * K + K * N + 2 * bm_ * N) * it \
                 > _VMEM_BUDGET:
             bm_ = _pick(M, bm_ // 2)
-        out = pl.pallas_call(
+        out = _pl_call(
             functools.partial(_ln_dense_kernel, eps=eps),
             grid=(M // bm_,),
             in_specs=[

@@ -120,3 +120,50 @@ def test_unet_all_pallas_kernels_compose(monkeypatch):
             == jax.tree_util.tree_structure(p1))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_train_step_with_all_pallas_kernels(monkeypatch):
+    """One LoRA train step with every opt-in Pallas routing on (conv +
+    proj + LN + ff), interpret mode: exercises the custom_vjp backwards
+    under value_and_grad + grad-accum scan — finite loss and grads."""
+    import optax
+
+    from hcpdiff_tpu.adapt.overlay import make_lora_overlay
+    from hcpdiff_tpu.diffusion.losses import MSELoss
+    from hcpdiff_tpu.diffusion.schedules import NoiseSchedule
+    from hcpdiff_tpu.trainer.step import (StepConfig, build_train_step,
+                                          init_train_state)
+    from tests.helpers import tiny_world
+
+    for k in ('HCP_PALLAS_CONV', 'HCP_PALLAS_PROJ', 'HCP_PALLAS_LN',
+              'HCP_PALLAS_FORCE'):
+        monkeypatch.setenv(k, '1')
+    world = tiny_world()
+    unet, te = world['unet'], world['te']
+    frontend = world['frontend']
+    schedule = NoiseSchedule.make()
+
+    def unet_apply(params, x, t, ctx, **extra):
+        return unet.apply({'params': params}, x, t, ctx, **extra)
+
+    def te_encode(te_params, ids, tm, emb_ext):
+        return frontend.encode_ids(te_params, ids, tm, emb_ext)
+
+    overlay, scales = make_lora_overlay(
+        jax.random.PRNGKey(0), world['unet_params'],
+        [{'layers': ['re:.*attn1\\.to_q$'], 'rank': 2}])
+    pack = {'lora_unet': overlay}
+    tx = optax.adam(1e-3)
+    step = build_train_step(unet_apply, te_encode, schedule, MSELoss(),
+                            tx, None, StepConfig(),
+                            lora_scales={'lora_unet': scales})
+    state = init_train_state(pack, tx, None, use_ema=False)
+    frozen = {'unet': world['unet_params'], 'te': world['te_params']}
+    ids, mult = frontend.tokenize_batch(['a cat'])
+    batch = {'latents': jnp.zeros((1, 8, 8, 4)) + 0.1,
+             'input_ids': jnp.asarray(ids),
+             'token_mult': jnp.asarray(mult)}
+    with pltpu.force_tpu_interpret_mode():
+        state2, m = step(state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m['loss']))
+    assert np.isfinite(float(m['grad_norm'])) and float(m['grad_norm']) > 0
