@@ -15,8 +15,11 @@ run() {  # tag, timeout_s, env pairs..., -- cmd...
   echo "--- exit $? ---" >> "$OUT"
 }
 
-# 1. headline (default config: pallas ff + residual epilogue)
+# 1. headline (default config: pallas ff + residual epilogue) — the
+#    driver metric; run FIRST in case the chip window is short
 run headline            2400 BENCH_VERBOSE=1 python bench.py
+# 2. training headline (driver metric #2)
+run train_first         2400 python bench_train.py
 # 1b. VAE flash decode (D=512 streaming kernel — first hardware validation)
 run vae_flash           2400 BENCH_VERBOSE=1 HCP_FLASH_VAE=1 python bench.py
 # 2. proj routing on top (to_out/proj_in/proj_out through Pallas)
