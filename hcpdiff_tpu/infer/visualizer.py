@@ -385,8 +385,19 @@ class Visualizer:
             common['sampler_kwargs'] = skw
         if ia.get('deep_cache_interval') and mode in ('t2i', 'txt2img'):
             # DeepCache acceleration (infer_args.deep_cache_interval: N —
-            # deep UNet levels run every Nth step; opt-in, approximate)
-            common['deep_cache_interval'] = int(ia['deep_cache_interval'])
+            # deep UNet levels run every Nth step; opt-in, approximate).
+            # Incompatible with the DreamArtist dual branch and ControlNet
+            # residual taps — drop it with a warning instead of erroring
+            # deep inside the jitted loop.
+            ex_in = self.cfgs.get('ex_input')
+            if (self.pipe.unet_params_neg is not None
+                    or (ex_in and ex_in.get('cond') is not None)):
+                import logging
+                logging.getLogger('hcpdiff_tpu').warning(
+                    'deep_cache_interval ignored: incompatible with '
+                    'DreamArtist/ControlNet generation')
+            else:
+                common['deep_cache_interval'] = int(ia['deep_cache_interval'])
         # ControlNet condition image (reference ex_input + ControlNetProcessor,
         # visualizer.py:180-183)
         ex_input = self.cfgs.get('ex_input')

@@ -537,9 +537,13 @@ class UNet2DCondition(nn.Module):
         x = _conv(c.block_out_channels[0], 3, self.dtype, 'conv_in')(x)
 
         shallow_only = deep_cache is not None
-        if shallow_only:
-            assert down_residuals is None and mid_residual is None, \
-                'deep_cache is incompatible with ControlNet residual taps'
+        if shallow_only and (down_residuals is not None
+                             or mid_residual is not None):
+            # a real error, not an assert: under `python -O` an assert
+            # would be stripped and reuse steps would silently drop the
+            # ControlNet conditioning (taps live in the deep branch)
+            raise ValueError(
+                'deep_cache is incompatible with ControlNet residual taps')
 
         # --- down blocks ---
         skips = [x]

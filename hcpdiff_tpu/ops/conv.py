@@ -88,13 +88,7 @@ def _conv3_pallas(x, w, b, row_bias, res, bn_pref: int = 512):
 
     bn = _pick(Cout, bn_pref)
     it = x.dtype.itemsize
-
-    def _bytes(bn):
-        return ((H + 2) * Wp * Cin * it + 9 * Cin * bn * it
-                + H * Wp * bn * 4 + 2 * H * W * bn * it
-                + (2 * H * W * bn * it if use_res else 0))
-
-    while bn > 128 and _bytes(bn) > _VMEM_BUDGET:
+    while bn > 128 and _footprint(H, W, Cin, bn, it, use_res) > _VMEM_BUDGET:
         bn = _pick(Cout, bn // 2)
 
     in_specs = [
@@ -178,15 +172,22 @@ def _make_conv3(use_bias: bool, use_row_bias: bool, use_res: bool,
     return fn
 
 
-def _fits(B, H, W, Cin, Cout, itemsize, use_res) -> bool:
-    """Minimal VMEM footprint (bn=128) of the per-image-resident design —
+def _footprint(H, W, Cin, bn, itemsize, use_res) -> int:
+    """Single source of truth for the per-image-resident VMEM model:
+    padded-flat input (+8 tap-overrun rows), 9 weight taps, fp32
+    accumulator, double-buffered output (and residual)."""
+    Wp = W + 2
+    return ((H + 2) * Wp * Cin * itemsize + 8 * Cin * itemsize
+            + 9 * Cin * bn * itemsize
+            + H * Wp * bn * 4 + 2 * H * W * bn * itemsize
+            + (2 * H * W * bn * itemsize if use_res else 0))
+
+
+def _fits(H, W, Cin, itemsize, use_res) -> bool:
+    """Minimal footprint (bn=128) of the per-image-resident design —
     oversized shapes (VAE 512x512 decode, SDXL-1024 level 0) fall back to
     the XLA conv until an H-blocked kernel variant exists."""
-    Wp = W + 2
-    bn = 128
-    return ((H + 2) * Wp * Cin * itemsize + 9 * Cin * bn * itemsize
-            + H * Wp * bn * 4 + 2 * H * W * bn * itemsize
-            + (2 * H * W * bn * itemsize if use_res else 0)) <= _VMEM_BUDGET
+    return _footprint(H, W, Cin, 128, itemsize, use_res) <= _VMEM_BUDGET
 
 
 def _conv3_xla(x, w, b, row_bias, res):
@@ -216,7 +217,7 @@ def conv3x3(x: jnp.ndarray, w: jnp.ndarray,
     image does not fit the VMEM-resident design route to the XLA conv."""
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
-    if not _fits(B, H, W, Cin, Cout, x.dtype.itemsize, res is not None):
+    if not _fits(H, W, Cin, x.dtype.itemsize, res is not None):
         return _conv3_xla(x, w.reshape(3, 3, Cin, Cout), b, row_bias, res)
     zb = jnp.zeros((Cout,), x.dtype)
     zrb = jnp.zeros((B, Cout), x.dtype)

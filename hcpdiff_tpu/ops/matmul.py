@@ -121,19 +121,21 @@ _VMEM_BUDGET = 15 * 1024 * 1024  # block-model budget for auto-tile picks
 _VMEM_LIMIT = 32 * 1024 * 1024
 
 
-def _kres_bytes(bm, bn, K, itemsize):
+def _kres_bytes(bm, bn, K, itemsize, use_res: bool = False):
     """K-resident VMEM model: grid (i, j) iterates j innermost, so the
-    x block (index (i, 0)) is single-buffered while w/out double-buffer."""
-    return (bm * K + 2 * K * bn + bn + 2 * bm * bn) * itemsize
+    x block (index (i, 0)) is single-buffered while w/out double-buffer.
+    The optional residual input adds another double-buffered [bm, bn]."""
+    return (bm * K + 2 * K * bn + bn
+            + (4 if use_res else 2) * bm * bn) * itemsize
 
 
-def _auto_dense_blocks(M, K, N, itemsize):
+def _auto_dense_blocks(M, K, N, itemsize, use_res: bool = False):
     """Measured on v5e (tools_dev/tune_proj.py, trace-timed): K-resident
     with the largest fitting bm wins for K <= 2560 (l0 ff.out 0.341ms vs
     XLA-in-loop 1.4ms); K=5120 prefers bk=1280 streaming at bm1024."""
     for bm in (2048, 1024, 512):
         if _kres_bytes(min(bm, M), N if N <= 512 else 512, K,
-                       itemsize) <= _VMEM_BUDGET:
+                       itemsize, use_res) <= _VMEM_BUDGET:
             return bm, K
     return 1024, 1280
 
@@ -141,14 +143,16 @@ def _auto_dense_blocks(M, K, N, itemsize):
 def _matmul_2d(x2, w, b, bm: int, bn: int, bk: int = 0, res=None):
     M, K = x2.shape
     N = w.shape[1]
+    use_res_blocks = res is not None
     if bm == DEFAULT_BM and not bk:
-        bm, bk = _auto_dense_blocks(M, K, N, x2.dtype.itemsize)
+        bm, bk = _auto_dense_blocks(M, K, N, x2.dtype.itemsize,
+                                    use_res_blocks)
     bm = _pick(M, bm)
     bn = _pick(N, bn)
     bk = _pick(K, bk or DEFAULT_BK)
     # safety net: shrink bm until the block residency model fits scoped VMEM
-    while bm > 128 and _kres_bytes(bm, bn, min(bk, K), x2.dtype.itemsize) \
-            > _VMEM_BUDGET:
+    while bm > 128 and _kres_bytes(bm, bn, min(bk, K), x2.dtype.itemsize,
+                                   use_res_blocks) > _VMEM_BUDGET:
         bm = _pick(M, bm // 2)
     use_bias = b is not None
     if b is None:

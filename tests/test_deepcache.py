@@ -96,7 +96,7 @@ def test_deep_cache_incompatible_with_controlnet_taps():
     x = jnp.zeros((1, 8, 8, 4))
     ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
     deep = jnp.zeros((1, 8, 8, cfg.block_out_channels[-2]))
-    with pytest.raises(AssertionError, match='ControlNet'):
+    with pytest.raises(ValueError, match='ControlNet'):
         unet.apply({'params': params}, x, jnp.array([0]), ctx,
                    deep_cache=deep, mid_residual=jnp.zeros((1, 4, 4, 8)))
 

@@ -12,7 +12,11 @@ run() {  # tag, timeout_s, env pairs..., -- cmd...
   local to="$1"; shift
   echo "=== $tag ($(date +%H:%M:%S)) ===" | tee -a "$OUT"
   timeout "$to" env "$@" 2>>"$OUT" | tail -1 | tee -a "$OUT"
-  echo "--- exit $? ---" >> "$OUT"
+  local rc="${PIPESTATUS[0]}"   # timeout's status, not tee's
+  if [ "$rc" -ne 0 ]; then
+    echo "FAIL($tag): exit $rc" | tee -a "$OUT"
+  fi
+  echo "--- exit $rc ---" >> "$OUT"
 }
 
 # 1. headline (default config: pallas ff + residual epilogue) — the
@@ -39,8 +43,10 @@ run deepcache3          2400 BENCH_VERBOSE=1 BENCH_DEEPCACHE=3 python bench.py
 run train               2400 python bench_train.py
 # 5. 768px (streaming flash + new VAE flash decode)
 run sd15_768            3000 BENCH_VERBOSE=1 BENCH_SIZE=768 BENCH_BATCH=4 python bench.py
-# 6. SDXL 1024 inference (big compile; generous timeout)
-run sdxl_1024           5400 BENCH_VERBOSE=1 BENCH_MODEL=sdxl python bench.py
+# 6. SDXL 1024 inference (big compile; generous timeout). Uses the flash
+#    VAE decode (validated by row 1b) — the XLA path's 16384^2 fp32
+#    logits are ~1GB/image at decode.
+run sdxl_1024           5400 BENCH_VERBOSE=1 BENCH_MODEL=sdxl HCP_FLASH_VAE=1 python bench.py
 # 7. SDXL LoRA training
 run sdxl_train          5400 BENCH_MODEL=sdxl python bench_train.py
 
