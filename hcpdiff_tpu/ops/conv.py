@@ -64,7 +64,7 @@ def _conv3_kernel(xp_ref, w_ref, b_ref, *rest, H: int, W: int,
     if use_bias:
         acc = acc + b_ref[0].astype(jnp.float32)[None, :]
     if use_row_bias:
-        acc = acc + rb_ref[0].astype(jnp.float32)[None, :]
+        acc = acc + rb_ref[0, 0].astype(jnp.float32)[None, :]
     out = acc.reshape(H, Wp, bn)[:, :W, :]
     if use_res:
         out = out + r_ref[0].astype(jnp.float32)
@@ -86,10 +86,19 @@ def _conv3_pallas(x, w, b, row_bias, res, bn_pref: int = 512):
     use_row_bias = row_bias is not None
     use_res = res is not None
 
-    bn = _pick(Cout, bn_pref)
     it = x.dtype.itemsize
-    while bn > 128 and _footprint(H, W, Cin, bn, it, use_res) > _VMEM_BUDGET:
-        bn = _pick(Cout, bn // 2)
+    # Mosaic lane rule: the Cout block must be a multiple of 128 or the
+    # full dimension (bn=160 on Cout=320 fails to lower) — pick the
+    # largest LEGAL block <= bn_pref whose footprint fits, else the
+    # smallest legal one (the caller's _fits gate guarantees it fits).
+    bn = Cout
+    for cand in _legal_bns(Cout):
+        if cand <= bn_pref and _footprint(H, W, Cin, cand, it,
+                                          use_res) <= _VMEM_BUDGET:
+            bn = cand
+            break
+    else:
+        bn = _legal_bns(Cout)[-1]
 
     in_specs = [
         pl.BlockSpec((1, (H + 2) * Wp + 8, Cin), lambda bi, j: (bi, 0, 0),
@@ -102,9 +111,10 @@ def _conv3_pallas(x, w, b, row_bias, res, bn_pref: int = 512):
     operands = [xp, w9, (b if use_bias else jnp.zeros((Cout,), x.dtype)
                          ).reshape(1, Cout)]
     if use_row_bias:
-        in_specs.append(pl.BlockSpec((1, bn), lambda bi, j: (bi, j),
+        # [B, 1, Cout] so the block's last-two dims are (1==dim, bn legal)
+        in_specs.append(pl.BlockSpec((1, 1, bn), lambda bi, j: (bi, 0, j),
                                      memory_space=pltpu.VMEM))
-        operands.append(row_bias.astype(x.dtype))
+        operands.append(row_bias.astype(x.dtype)[:, None, :])
     if use_res:
         in_specs.append(pl.BlockSpec((1, H, W, bn),
                                      lambda bi, j: (bi, 0, 0, j),
@@ -172,6 +182,15 @@ def _make_conv3(use_bias: bool, use_row_bias: bool, use_res: bool,
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _legal_bns(Cout: int):
+    """Cout blocks Mosaic will lower, descending: the full dimension plus
+    every 128-multiple divisor (grid needs bn | Cout)."""
+    bns = [Cout] + [b for b in range(Cout - Cout % 128, 127, -128)
+                    if Cout % b == 0]
+    return tuple(sorted(set(bns), reverse=True))
+
+
 def _footprint(H, W, Cin, bn, itemsize, use_res) -> int:
     """Single source of truth for the per-image-resident VMEM model:
     padded-flat input (+8 tap-overrun rows), 9 weight taps, fp32
@@ -183,11 +202,13 @@ def _footprint(H, W, Cin, bn, itemsize, use_res) -> int:
             + (2 * H * W * bn * itemsize if use_res else 0))
 
 
-def _fits(H, W, Cin, itemsize, use_res) -> bool:
-    """Minimal footprint (bn=128) of the per-image-resident design —
-    oversized shapes (VAE 512x512 decode, SDXL-1024 level 0) fall back to
-    the XLA conv until an H-blocked kernel variant exists."""
-    return _footprint(H, W, Cin, 128, itemsize, use_res) <= _VMEM_BUDGET
+def _fits(H, W, Cin, Cout, itemsize, use_res) -> bool:
+    """Minimal LEGAL-block footprint of the per-image-resident design —
+    oversized shapes (VAE 512x512 decode, SDXL-1024 level 0) and channel
+    counts whose only legal block is too large fall back to the XLA conv
+    until an H-blocked kernel variant exists."""
+    bn_min = _legal_bns(Cout)[-1]
+    return _footprint(H, W, Cin, bn_min, itemsize, use_res) <= _VMEM_BUDGET
 
 
 def _conv3_xla(x, w, b, row_bias, res):
@@ -217,7 +238,7 @@ def conv3x3(x: jnp.ndarray, w: jnp.ndarray,
     image does not fit the VMEM-resident design route to the XLA conv."""
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
-    if not _fits(H, W, Cin, x.dtype.itemsize, res is not None):
+    if not _fits(H, W, Cin, Cout, x.dtype.itemsize, res is not None):
         return _conv3_xla(x, w.reshape(3, 3, Cin, Cout), b, row_bias, res)
     zb = jnp.zeros((Cout,), x.dtype)
     zrb = jnp.zeros((B, Cout), x.dtype)
