@@ -669,6 +669,89 @@ class DPMpp2SASampler(DPM2AncestralSampler):
         return x_base + d_mid * (s_down - s_from)
 
 
+class DPMppSDESampler(TwoStageKSampler):
+    """DPM++ SDE — singlestep stochastic DPM-Solver++(2S), the webui
+    'DPM++ SDE' / diffusers DPMSolverSDEScheduler update rule (k-diffusion
+    ``sample_dpmpp_sde`` with r=1/2; reference reaches it as a diffusers
+    scheduler ``_target_``, visualizer.py:99-110).
+
+    Per transfer sigma_k -> sigma_{k+1} (eta=1 default, independent noise
+    draws per stage — k-diffusion's default_noise_sampler; we do not model
+    the optional Brownian-tree correlation):
+
+    - stage 0 (eval at sigma_k): ancestral half-step to the log-space
+      midpoint s_mid = sqrt(s_k*s_{k+1}):
+      x_2 = x0 + (sd1/s_k)(x - x0) + su1*noise, (sd1,su1)=ancestral(s_k,s_mid)
+    - stage 1 (eval at s_mid): with r=1/2 the 2S combination weight
+      1/(2r) = 1 puts ALL weight on the midpoint x0 (x0_mid):
+      x' = x0_mid + (sd2/s_k)(x_base - x0_mid) + su2*noise,
+      (sd2,su2) = ancestral(s_k, s_{k+1}).
+    - final transfer to sigma=0: plain Euler (noise-free).
+
+    With eta=0 this is the deterministic singlestep DPM-Solver++(2S)
+    midpoint method (diffusers DPMSolverSinglestepScheduler order 2)."""
+
+    def __init__(self, schedule, num_steps, eta: float = 1.0, **kw):
+        self.eta = float(eta)
+        super().__init__(schedule, num_steps, **kw)
+        self._sd1 = jnp.asarray(self._sd1_np, jnp.float32)
+        self._su1 = jnp.asarray(self._su1_np, jnp.float32)
+
+    def _ancestral(self, a, b):
+        with np.errstate(divide='ignore', invalid='ignore'):
+            su = np.minimum(b, self.eta * np.sqrt(np.maximum(
+                b ** 2 * (a ** 2 - b ** 2) / np.maximum(a ** 2, 1e-24), 0.0)))
+            sd = np.sqrt(np.maximum(b ** 2 - su ** 2, 0.0))
+        return sd, su
+
+    def _transfer_tables(self, sig):
+        N = self.num_steps
+        s_from = sig[:N]
+        s_next = sig[1:N + 1]
+        with np.errstate(divide='ignore'):
+            s_mid = np.exp(0.5 * (np.log(np.maximum(s_from, 1e-12))
+                                  + np.log(np.maximum(s_next, 1e-12))))
+        s_mid = np.where(s_next <= 0, s_from, s_mid)
+        sd2, su2 = self._ancestral(s_from, s_next)
+        sd2 = np.where(s_next <= 0, 0.0, sd2)
+        su2 = np.where(s_next <= 0, 0.0, su2)
+        sd1, su1 = self._ancestral(s_from, s_mid)
+        sd1 = np.where(s_next <= 0, s_from, sd1)
+        su1 = np.where(s_next <= 0, 0.0, su1)
+        self._sd1_np, self._su1_np = sd1, su1
+        return s_from, sd2, s_mid, su2
+
+    def step(self, state, model_out, i, x, rng=None):
+        x_base, d1 = state
+        s_eval = self.sigmas[i]
+        stage = self._plan_stage[i]
+        k = self._pair[i]
+        x0 = self._to_x0(model_out, x, i)
+        d = (x - x0) / jnp.maximum(s_eval, 1e-12)
+        s_from, sd2 = self._s_from[k], self._s_to[k]
+        su2 = self._s_up[k]
+        sd1, su1 = self._sd1[k], self._su1[k]
+
+        is_final = i == (self.num_steps - 1)
+        # stage 0: x_2 = x0 + (sd1/s_from)(x - x0) == Euler to sd1, + noise
+        x_pred = x + d * (sd1 - s_from)
+        x_final = x + d * (sd2 - s_from)      # final transfer: Euler to 0
+        # stage 1: x0 here IS x0_mid (eval at s_mid); x' anchors on it
+        ratio = sd2 / jnp.maximum(s_from, 1e-12)
+        x_s1 = x0 + ratio * (x_base - x0)
+        if rng is not None:
+            r0, r1 = jax.random.split(rng)
+            x_pred = x_pred + jax.random.normal(r0, x.shape) \
+                * _bshape(su1[None], x.ndim)
+            x_s1 = x_s1 + jax.random.normal(r1, x.shape) \
+                * _bshape(su2[None], x.ndim)
+        x_s0 = jnp.where(is_final, x_final, x_pred)
+        x_next = jnp.where(stage == 0, x_s0, x_s1)
+        new_state = (jnp.where(stage == 0, x, x_base),
+                     jnp.where(stage == 0, d, d1))
+        return x_next, new_state, x0
+
+
 SAMPLERS = {
     'ddim': DDIMSampler,
     'ddpm': DDPMSampler,
@@ -678,8 +761,8 @@ SAMPLERS = {
     'dpmpp_2m': DPMpp2MSampler,
     'dpm++_2m_sde': DPMpp2MSDESampler,
     'dpmpp_2m_sde': DPMpp2MSDESampler,
-    'dpm++_sde': DPMpp2MSDESampler,
-    'dpmpp_sde': DPMpp2MSDESampler,
+    'dpm++_sde': DPMppSDESampler,
+    'dpmpp_sde': DPMppSDESampler,
     'heun': HeunSampler,
     'lms': LMSSampler,
     'deis': DEISSampler,

@@ -265,6 +265,19 @@ class DiffusionPipeline:
         ctx, _ = self.encode_prompts(prompts, negs, emb_ext)
 
         t_start = max(num_steps - int(num_steps * strength), 0)
+        probe = make_sampler(sampler, self.schedule, num_steps,
+                             **(sampler_kwargs or {}))
+        if probe.num_steps != num_steps:
+            # eval-plan samplers (heun/dpm2/dpm2_a/dpm++_2s_a, pndm with
+            # prk_warmup) stagger >1 model eval per sigma transfer; slicing
+            # their timestep plan at t_start would enter mid-transfer and
+            # silently mis-integrate. The reference accepts any scheduler for
+            # I2I (utils/pipe_hook.py:173) — we fail loudly instead of wrong.
+            raise ValueError(
+                f'img2img/inpaint: sampler {sampler!r} uses a staggered '
+                f'multi-eval plan and cannot be sliced for a partial loop; '
+                f"use a single-eval sampler (e.g. 'dpm++_2m', 'euler', "
+                f"'euler_a', 'unipc', 'ddim').")
         loop = self._loop(sampler, num_steps)
         sub = loop.sampler.timesteps[t_start]
         rng = jax.random.PRNGKey(seed)

@@ -194,7 +194,7 @@ class Visualizer:
     # (kdpm2ancestral before kdpm2, dpmsolversde before dpmsolver...)
     _SCHED_MAP = {'eulerancestral': 'euler_a', 'eulerdiscrete': 'euler',
                   'dpmsolversde': 'dpm++_sde',
-                  'dpmsolversinglestep': 'dpm++_2s_a',
+                  'dpmsolversinglestep': 'dpm++_sde',
                   'dpmsolvermultistep': 'dpm++_2m', 'unipcmultistep': 'unipc',
                   'kdpm2ancestral': 'dpm2_a', 'kdpm2': 'dpm2',
                   'heun': 'heun', 'lms': 'lms', 'deis': 'deis',
@@ -218,6 +218,11 @@ class Visualizer:
                         name = 'dpm++_2m_sde'
                     ia = self.cfgs.get('infer_args') or Cfg()
                     ia['sampler'] = name
+                    if key == 'dpmsolversinglestep':
+                        # deterministic singlestep 2S = DPM++ SDE at eta=0
+                        kwz = dict(ia.get('sampler_kwargs') or {})
+                        kwz['eta'] = 0.0
+                        ia['sampler_kwargs'] = kwz
                     if sch.get('use_karras_sigmas'):
                         kwz = dict(ia.get('sampler_kwargs') or {})
                         kwz['use_karras_sigmas'] = True

@@ -255,7 +255,14 @@ class Trainer:
         for sname, s_cfg in (ds_cfg.get('source') or {}).items():
             s = dict(s_cfg)
             tgt = str(s.pop('_target_', 'Text2ImageSource')).split('.')[-1]
-            cls = src_classes.get(tgt, Text2ImageSource)
+            cls = src_classes.get(tgt)
+            if cls is None:
+                # a misspelled source _target_ must not silently train on
+                # Text2ImageSource (reference hydra instantiate raises on a
+                # bad _target_, train_ac.py:55)
+                raise ValueError(
+                    f'data source {sname!r}: unknown _target_ {tgt!r}; '
+                    f'known: {sorted(src_classes)}')
             # att_mask_encode is accepted for config parity but vestigial in
             # the reference too (stored, never read — pair_dataset.py:40)
             s.pop('att_mask_encode', None)
@@ -351,7 +358,7 @@ class Trainer:
         if not b_cfg:
             return FixedBucket(512)
         b = dict(b_cfg)
-        target = b.pop('_target_', '')
+        target = str(b.pop('_target_', ''))
         kw = {k: v for k, v in b.items() if not k.startswith('_')}
         if 'RatioBucket.from_files' in target:
             return RatioBucket.from_files(**kw)
@@ -365,7 +372,17 @@ class Trainer:
         if 'SizeBucket' in target:
             from ..data.buckets import SizeBucket
             return SizeBucket(**kw)
-        return RatioBucket.from_files(**kw) if kw else FixedBucket(512)
+        if not target:
+            # bucket block present but no _target_: reference default is
+            # RatioBucket (base_dataset.yaml); plain kwargs like target_area
+            # select from_files semantics
+            return RatioBucket.from_files(**kw) if kw else FixedBucket(512)
+        # a misspelled bucket _target_ must not silently bucket at 512 fixed
+        # (reference hydra instantiate raises on a bad _target_)
+        raise ValueError(
+            f'bucket: unknown _target_ {target!r}; known: '
+            f'RatioBucket.from_files, RatioBucket.from_ratios, FixedBucket, '
+            f'SizeBucket, LongEdgeBucket')
 
     def build_trainables(self):
         """make_hcpdiff equivalent: pack + per-group lr labels."""

@@ -27,7 +27,7 @@ from test_samplers import run_sampler  # noqa: E402
 
 
 NEW_SAMPLERS = ['dpm++_2m_sde', 'heun', 'lms', 'deis', 'dpm2', 'dpm2_a',
-                'dpm++_2s_a']
+                'dpm++_2s_a', 'dpm++_sde']
 
 
 @pytest.mark.parametrize('name', NEW_SAMPLERS)
@@ -102,7 +102,7 @@ def mixture_setup():
 
 
 @pytest.mark.parametrize('name', ['dpm++_2m', 'dpm++_2m_sde', 'heun', 'lms',
-                                  'deis', 'dpm2', 'unipc'])
+                                  'deis', 'dpm2', 'unipc', 'dpm++_sde'])
 def test_second_order_beats_euler(mixture_setup, name):
     """At 12 solver steps each 2nd-order sampler must be substantially more
     accurate than Euler against the fine ODE solve (order check — catches
@@ -142,15 +142,16 @@ def test_dpm2_matches_heun_class_accuracy(mixture_setup):
     assert ed < 10 * eh and eh < 10 * ed, (eh, ed)
 
 
-def test_sde_sampler_noise_is_applied():
-    """dpm++_2m_sde with eta=1 must actually inject noise (different seeds
+@pytest.mark.parametrize('sname', ['dpm++_2m_sde', 'dpm++_sde'])
+def test_sde_sampler_noise_is_applied(sname):
+    """SDE samplers with eta=1 must actually inject noise (different seeds
     -> different results), and eta=0 must be deterministic."""
     sched = NoiseSchedule.make()
     outs = {}
     for eta in (1.0, 0.0):
         res = []
         for seed in (0, 1):
-            sampler = make_sampler('dpm++_2m_sde', sched, 10, eta=eta)
+            sampler = make_sampler(sname, sched, 10, eta=eta)
             x = jnp.full((4,), 2.0)
             st = sampler.init_state(x.shape)
             rng = jax.random.PRNGKey(seed)
@@ -163,6 +164,47 @@ def test_sde_sampler_noise_is_applied():
         outs[eta] = res
     assert not np.allclose(outs[1.0][0], outs[1.0][1])
     np.testing.assert_allclose(outs[0.0][0], outs[0.0][1])
+
+
+def test_dpmpp_sde_marginal_statistics():
+    """Noise-statistics check for the singlestep SDE: for data = point mass
+    at 0 the exact denoiser is x0=0 and the k-space marginal at every eval
+    sigma is N(0, sigma^2). With eta=1 the sampler's two-stage ancestral
+    splits must preserve exactly that marginal at every plan position —
+    wrong sd/su tables (e.g. midpointing toward sigma_down, or reusing one
+    noise draw across stages) break it."""
+    sched = NoiseSchedule.make()
+    sampler = make_sampler('dpm++_sde', sched, 8, eta=1.0)
+    n = 8192
+    rng = jax.random.PRNGKey(0)
+    rng, r0 = jax.random.split(rng)
+    sig = np.asarray(sampler.sigmas)
+    x = jax.random.normal(r0, (n,)) * sig[0]
+    st = sampler.init_state((n,))
+    for i in range(sampler.num_steps):
+        np.testing.assert_allclose(float(jnp.std(x)), sig[i], rtol=0.06,
+                                   err_msg=f'plan position {i}')
+        eps = x / jnp.maximum(sig[i], 1e-12)      # x0 oracle = 0
+        rng, sub = jax.random.split(rng)
+        x, st, _ = sampler.step(st, eps, jnp.asarray(i), x, sub)
+    assert float(jnp.abs(x).max()) < 1e-3         # collapses onto the data
+
+
+def test_dpmpp_sde_eta0_matches_2s_structure():
+    """eta=0 dpm++_sde is the deterministic 2S midpoint method — it must
+    beat Euler on the mixture oracle (covered parametrically above) and its
+    transfer grid must hit the nominal sigmas (sd2 == s_next)."""
+    sched = NoiseSchedule.make()
+    s = make_sampler('dpm++_sde', sched, 10, eta=0.0)
+    sig_nominal = np.asarray(make_sampler('euler', sched, 10).sigmas)
+    np.testing.assert_allclose(np.asarray(s._s_to), sig_nominal[1:], rtol=1e-6)
+    assert np.asarray(s._s_up).max() == 0.0
+    assert np.asarray(s._su1_np).max() == 0.0
+
+
+def test_visualizer_singlestep_maps_to_eta0():
+    from hcpdiff_tpu.infer.visualizer import Visualizer
+    assert Visualizer._SCHED_MAP['dpmsolversinglestep'] == 'dpm++_sde'
 
 
 def test_lms_coefficients_sum_to_dt():
