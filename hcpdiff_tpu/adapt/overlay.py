@@ -213,24 +213,62 @@ def merge_overlays(params: Any, overlays: Sequence[PathDict],
                 # (tools/convert_old_lora.py:9-10); it adds to the host bias
                 # with the same alpha/rank/scale factor as the kernel delta
                 if 'bias' not in leaf:
-                    # Documented limitation (vs reference
-                    # lora_base_patch.py reparameterization_to_host which
-                    # creates the host bias): our flax hosts declare
-                    # bias-free projections (SD attention to_q/to_k/to_v),
-                    # and flax silently IGNORES undeclared params — so
-                    # synthesizing one here would silently drop the delta.
-                    # Raising is the only honest behavior.
+                    # flax silently IGNORES params the module does not
+                    # declare, so synthesizing a bias here would silently
+                    # drop the delta. The supported path (matching the
+                    # reference's reparameterization_to_host creating the
+                    # host bias, lora_base_patch.py:150-170) is to rebuild
+                    # the host with declared biases first — the Visualizer
+                    # does this automatically via attach_host_biases +
+                    # UNetConfig(qkv_bias=True).
                     raise ValueError(
                         f'LoRA at {path!r} has a bias but the host layer is '
                         'bias-free (SD attention projections are '
-                        'use_bias=False); a bias delta cannot be applied to '
-                        'this model. Strip it explicitly with '
-                        'hcpdiff_tpu.adapt.overlay.strip_overlay_bias(...) '
-                        'to apply the kernel-only part.')
+                        'use_bias=False). Rebuild the host with '
+                        'UNetConfig(qkv_bias=True) + attach_host_biases() '
+                        '(the Visualizer merge path does this '
+                        'automatically), or strip the bias with '
+                        'strip_overlay_bias(...) to apply the kernel-only '
+                        'part.')
                 rank = entry['down'].shape[-1]
                 db = entry['bias'] * (entry['alpha'] / rank) * s
                 leaf['bias'] = leaf['bias'] + db.astype(leaf['bias'].dtype)
     return merged
+
+
+def attach_host_biases(params: Any, paths: Iterable[str]) -> Any:
+    """Create zero host biases at the given kernel-module paths — the
+    functional analog of the reference's ``reparameterization_to_host``
+    creating ``host.bias`` when collapsing a biased LoRA into a bias-free
+    layer (hcpdiff/models/lora_base_patch.py:150-170). The caller must
+    also rebuild the host module so it READS the bias (our flax UNet:
+    ``UNetConfig(qkv_bias=True)``) — flax silently ignores params the
+    module does not declare."""
+    out = _deep_dict(params)
+    for path in paths:
+        leaf = _get_path(out, path)
+        if 'bias' in leaf:
+            continue
+        k = leaf['kernel']
+        leaf['bias'] = jnp.zeros((k.shape[-1],), k.dtype)
+    return out
+
+
+def overlay_bias_paths(overlays: Sequence[PathDict], params: Any) -> List[str]:
+    """Paths where an overlay carries a bias delta but the host params
+    have no bias leaf (pre-0.9 reference biased LoRAs onto SD's bias-free
+    attention projections)."""
+    out: List[str] = []
+    for ov in overlays:
+        for path, entry in ov.items():
+            if 'bias' in entry and path not in out:
+                try:
+                    host = _get_path(params, path)
+                except (KeyError, TypeError):
+                    continue
+                if 'bias' not in host:
+                    out.append(path)
+    return out
 
 
 def strip_overlay_bias(overlay: PathDict, warn: bool = True) -> PathDict:

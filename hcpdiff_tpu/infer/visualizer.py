@@ -137,10 +137,12 @@ class Visualizer:
                 clip_skip=int(mcfg.get('clip_skip', 0)),
                 clip_final_norm=bool(mcfg.get('clip_final_norm', True)))
 
-        unet = world['unet']
         viser = self
 
         def unet_apply(p, x, t, ctx, cond=None, **extra):
+            # read through world so a merge-time host rebuild (qkv_bias for
+            # biased LoRAs) or a reloadable hot-swap stays in effect
+            unet = viser.world['unet']
             # ControlNet residual taps (reference MultiPluginBlock injection,
             # hcpdiff/models/controlnet.py:69-88): with a loaded plugin and a
             # cond image, add scaled residuals at the UNet skip/mid points.
@@ -318,6 +320,31 @@ class Visualizer:
                         self.plugins[pname] = {
                             'params': jax.tree_util.tree_map(jnp.asarray, st),
                             'scale': float(item.get('alpha', 1.0))}
+        # pre-0.9 biased LoRAs: the reference creates the host bias at
+        # reparameterization time (lora_base_patch.py:150-170). Functional
+        # analog: rebuild the UNet with declared q/k/v biases
+        # (UNetConfig.qkv_bias) and attach zero host biases so the deltas
+        # apply onto them.
+        from ..adapt.overlay import attach_host_biases, overlay_bias_paths
+        need_bias = overlay_bias_paths(
+            unet_merger.overlays + neg_merger.overlays, unet_merger.params)
+        if need_bias:
+            import dataclasses
+            not_qkv = [p for p in need_bias
+                       if p.rsplit('.', 1)[-1] not in ('to_q', 'to_k', 'to_v')]
+            if not_qkv:
+                raise ValueError(
+                    f'LoRA bias deltas target bias-free non-attention '
+                    f'layers {not_qkv[:3]} — no host rebuild is available '
+                    'for these; strip them with strip_overlay_bias(...)')
+            ucfg = dataclasses.replace(world['unet_cfg'], qkv_bias=True)
+            old = world['unet']
+            world['unet_cfg'] = ucfg
+            world['unet'] = type(old)(ucfg, dtype=old.dtype, remat=old.remat)
+            qkv = [p for p in module_paths(unet_merger.params)
+                   if p.rsplit('.', 1)[-1] in ('to_q', 'to_k', 'to_v')]
+            unet_merger.params = attach_host_biases(unet_merger.params, qkv)
+            neg_merger.params = attach_host_biases(neg_merger.params, qkv)
         self.unet_params = unet_merger.merged()
         self.unet_params_neg = neg_merger.merged() if has_neg else None
         self.te_params = te_merger.merged()

@@ -48,6 +48,12 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 2816
     mid_cross_attn: bool = True
+    # biased attention q/k/v projections. SD declares these bias-free; the
+    # flag exists for loading pre-0.9 reference LoRAs that carry bias
+    # deltas (reference lora_base_patch.py:150-170 reparameterization
+    # creates the host bias at collapse time — here the host is rebuilt
+    # with zero-init biases and the delta adds onto them).
+    qkv_bias: bool = False
 
     @classmethod
     def sd15(cls) -> 'UNetConfig':
@@ -264,6 +270,7 @@ class CrossAttention(nn.Module):
     heads: int
     context_dim: Optional[int] = None
     dtype: Dtype = jnp.bfloat16
+    qkv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
@@ -294,7 +301,7 @@ class CrossAttention(nn.Module):
                 cb = ctx.astype(self.dtype)
                 k = cb @ wk.astype(self.dtype)
                 v = cb @ wv.astype(self.dtype)
-        elif os.environ.get('HCP_FUSED_QKV', '0') == '1':
+        elif os.environ.get('HCP_FUSED_QKV', '0') == '1' and not self.qkv_bias:
             # one matmul reads x once instead of three times (self-attn), or
             # ctx once for k/v (cross-attn). Measured SLOWER whole-loop on
             # v5e (2.833 vs 2.929 img/s): the fused [B,S,3C] output splits
@@ -312,9 +319,10 @@ class CrossAttention(nn.Module):
                 wkv = jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
                 k, v = jnp.split(ctx.astype(self.dtype) @ wkv, 2, axis=-1)
         else:
-            q = _dense(self.query_dim, self.dtype, 'to_q', use_bias=False)(x)
-            k = _dense(self.query_dim, self.dtype, 'to_k', use_bias=False)(ctx)
-            v = _dense(self.query_dim, self.dtype, 'to_v', use_bias=False)(ctx)
+            ub = self.qkv_bias
+            q = _dense(self.query_dim, self.dtype, 'to_q', use_bias=ub)(x)
+            k = _dense(self.query_dim, self.dtype, 'to_k', use_bias=ub)(ctx)
+            v = _dense(self.query_dim, self.dtype, 'to_v', use_bias=ub)(ctx)
         q = q.reshape(B, S, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, Sk, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, Sk, h, d).transpose(0, 2, 1, 3)
@@ -374,11 +382,14 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     context_dim: int
     dtype: Dtype = jnp.bfloat16
+    qkv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
                  context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        if _pallas_ln():
+        # the LN-fused q/k/v GEMMs are bias-free by construction; biased
+        # hosts (pre-0.9 LoRA compat) take the standard path
+        if _pallas_ln() and not self.qkv_bias:
             # LNs fold into the projection prologues; params declared via
             # _LNParams so the tree matches nn.LayerNorm exactly
             g1, b1 = _LNParams(name='norm1')(self.dim)
@@ -398,8 +409,10 @@ class BasicTransformerBlock(nn.Module):
         # math is identical to `x + sublayer(ln(x))`, but the Pallas-routed
         # projections absorb the add so it never crosses the HBM boundary
         x = CrossAttention(self.dim, self.heads, dtype=self.dtype,
+                           qkv_bias=self.qkv_bias,
                            name='attn1')(ln('norm1')(x), res=x)
         x = CrossAttention(self.dim, self.heads, self.context_dim, dtype=self.dtype,
+                           qkv_bias=self.qkv_bias,
                            name='attn2')(ln('norm2')(x), context,
                                          bias=context_bias, res=x)
         x = GEGLUFeedForward(self.dim, dtype=self.dtype,
@@ -414,6 +427,7 @@ class Transformer2D(nn.Module):
     context_dim: int
     groups: int
     dtype: Dtype = jnp.bfloat16
+    qkv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
@@ -434,7 +448,7 @@ class Transformer2D(nn.Module):
             h = _dense(self.channels, self.dtype, 'proj_in')(h.reshape(B, H * W, C))
         for i in range(self.depth):
             h = BasicTransformerBlock(self.channels, self.heads, self.context_dim,
-                                      dtype=self.dtype,
+                                      dtype=self.dtype, qkv_bias=self.qkv_bias,
                                       name=f'transformer_blocks_{i}')(h, context, context_bias)
         if _pallas_proj():
             # NHWC->[B,HW,C] reshape is a free contiguous merge, so the
@@ -558,7 +572,7 @@ class UNet2DCondition(nn.Module):
                     x = Tfm(out_c, c.num_heads[bi],
                             c.transformer_layers_per_block[bi],
                             c.cross_attention_dim, c.norm_num_groups,
-                            dtype=self.dtype,
+                            dtype=self.dtype, qkv_bias=c.qkv_bias,
                             name=f'down_{bi}_attn_{li}')(x, ctx, ctx_bias)
                 skips.append(x)
             if bi < n_blocks - 1 and not shallow_only:
@@ -580,7 +594,8 @@ class UNet2DCondition(nn.Module):
                 x = Tfm(mid_c, c.num_heads[-1],
                         c.transformer_layers_per_block[-1],
                         c.cross_attention_dim, c.norm_num_groups,
-                        dtype=self.dtype, name='mid_attn')(x, ctx, ctx_bias)
+                        dtype=self.dtype, qkv_bias=c.qkv_bias,
+                        name='mid_attn')(x, ctx, ctx_bias)
             x = Res(mid_c, c.norm_num_groups, dtype=self.dtype, name='mid_res_1')(x, temb)
             if mid_residual is not None:
                 x = x + mid_residual.astype(x.dtype)
@@ -597,7 +612,7 @@ class UNet2DCondition(nn.Module):
                         x = Tfm(out_c, c.num_heads[len(rev_channels) - 1 - bi],
                                 c.transformer_layers_per_block[len(rev_channels) - 1 - bi],
                                 c.cross_attention_dim, c.norm_num_groups,
-                                dtype=self.dtype,
+                                dtype=self.dtype, qkv_bias=c.qkv_bias,
                                 name=f'up_{bi}_attn_{li}')(x, ctx, ctx_bias)
                 x = Upsample2D(out_c, dtype=self.dtype, name=f'up_{bi}_upsample')(x)
             deep_out = x
@@ -617,7 +632,7 @@ class UNet2DCondition(nn.Module):
                 x = Tfm(out_c, c.num_heads[len(rev_channels) - 1 - bi],
                         c.transformer_layers_per_block[len(rev_channels) - 1 - bi],
                         c.cross_attention_dim, c.norm_num_groups,
-                        dtype=self.dtype,
+                        dtype=self.dtype, qkv_bias=c.qkv_bias,
                         name=f'up_{bi}_attn_{li}')(x, ctx, ctx_bias)
 
         x = GroupNorm(c.norm_num_groups, dtype=self.dtype, fused_silu=True,

@@ -767,6 +767,14 @@ class Trainer:
     # ------------------------------------------------------------ train ----
     def train(self):
         assert self.data_group is not None, 'no datasets configured'
+        from .preemption import PreemptionGuard, resolve_preemption_cfg
+        sigs = resolve_preemption_cfg(
+            (self.cfgs.get('train') or Cfg()).get('preemption'))
+        self.preempted = False
+        with PreemptionGuard(sigs or []) as guard:
+            return self._train_loop(guard if sigs else None)
+
+    def _train_loop(self, guard):
         # scalar cadence = gcd of the configured loggers' log_steps
         # (reference train_ac.py:140-145 min_log_step semantics)
         log_step = max(int(self.loggers.log_step), 1)
@@ -870,6 +878,18 @@ class Trainer:
                 self.save_model(step)
             if step >= self.train_steps:
                 break
+            if guard is not None and guard.should_stop():
+                # preemption: save the full state NOW (multi-host save
+                # protocol — every process reached this point because
+                # should_stop is collective) and exit cleanly; the next
+                # run picks it up via train.resume.auto
+                self.preempted = True
+                self.loggers.info(
+                    f'preemption signal — saving full state at step {step} '
+                    'and exiting')
+                if step % self.save_step != 0:
+                    self.save_model(step)
+                return step
         self.save_model(step)
         return step
 

@@ -131,3 +131,77 @@ def test_inpaint_legacy_two_eval_raises(pipe):
     with pytest.raises(ValueError, match='multi-eval plan'):
         pipe.inpaint(init, mask, 'cat', strength=0.5, num_steps=6,
                      sampler='heun')
+
+
+# ------------------------------------------- biased-LoRA host rebuild -------
+
+def test_biased_lora_visualizer_qkv_rebuild(tmp_path):
+    """A pre-0.9 biased LoRA targeting SD's bias-free attention projections
+    must LOAD (VERDICT round-3 item 7): the Visualizer rebuilds the UNet
+    with UNetConfig(qkv_bias=True) and attaches zero host biases, matching
+    the reference's reparameterization_to_host creating the host bias
+    (hcpdiff/models/lora_base_patch.py:150-170)."""
+    from hcpdiff_tpu.adapt.overlay import _get_path, module_paths
+    from hcpdiff_tpu.ckpt.manager import CkptManagerSafe
+    from hcpdiff_tpu.config import containerize
+    from hcpdiff_tpu.infer.visualizer import Visualizer
+    from hcpdiff_tpu.models.factory import build_models
+
+    world = build_models('tiny', dtype=jnp.float32)
+    path = next(p for p in module_paths(world['unet_params'])
+                if p.endswith('attn1.to_q'))
+    kshape = _get_path(world['unet_params'], path)['kernel'].shape
+    rank = 2
+    rng = np.random.default_rng(0)
+    overlay = {path: {
+        'down': rng.normal(size=(kshape[0], rank)).astype(np.float32) * 0.01,
+        'up': rng.normal(size=(rank, kshape[1])).astype(np.float32) * 0.01,
+        'alpha': np.asarray(1.0, np.float32),
+        'bias': np.full((kshape[1],), 0.5, np.float32)}}
+    ck = str(tmp_path / 'biased_lora.safetensors')
+    CkptManagerSafe().save_model_with_lora(ck, lora_overlay=overlay)
+
+    out = tmp_path / 'out'
+    v = Visualizer(containerize({
+        'pretrained_model': 'tiny', 'dtype': 'fp32',
+        'prompt': 'a photo of cat', 'neg_prompt': '', 'seed': 5, 'bs': 1,
+        'output_dir': str(out),
+        'infer_args': {'width': 32, 'height': 32, 'inference_steps': 2,
+                       'sampler': 'ddim'},
+        'merge': {'group1': {'type': 'unet',
+                             'lora': [{'path': ck, 'alpha': 1.0}]}},
+        'interface': [],
+    }))
+    # host rebuilt with declared q/k/v biases
+    assert v.world['unet_cfg'].qkv_bias
+    # the targeted layer got bias = 0 + delta = bias * (alpha/rank) * scale
+    got = np.asarray(_get_path(v.unet_params, path)['bias'])
+    np.testing.assert_allclose(got, np.full((kshape[1],), 0.5 / rank),
+                               atol=1e-6)
+    # every other q/k/v has a zero bias and the model applies cleanly
+    other = next(p for p in module_paths(v.unet_params)
+                 if p.endswith('to_k') and 'attn1' in p)
+    np.testing.assert_allclose(
+        np.asarray(_get_path(v.unet_params, other)['bias']), 0.0)
+    imgs = v.vis_to_dir(num=1)
+    assert np.isfinite(imgs).all()
+
+    # the bias delta changes the output vs the stripped-kernel-only load
+    from hcpdiff_tpu.adapt.overlay import strip_overlay_bias
+    ck2 = str(tmp_path / 'stripped_lora.safetensors')
+    with pytest.warns(UserWarning):
+        CkptManagerSafe().save_model_with_lora(
+            ck2, lora_overlay=strip_overlay_bias(overlay))
+    v2 = Visualizer(containerize({
+        'pretrained_model': 'tiny', 'dtype': 'fp32',
+        'prompt': 'a photo of cat', 'neg_prompt': '', 'seed': 5, 'bs': 1,
+        'output_dir': str(tmp_path / 'out2'),
+        'infer_args': {'width': 32, 'height': 32, 'inference_steps': 2,
+                       'sampler': 'ddim'},
+        'merge': {'group1': {'type': 'unet',
+                             'lora': [{'path': ck2, 'alpha': 1.0}]}},
+        'interface': [],
+    }))
+    assert not v2.world['unet_cfg'].qkv_bias
+    imgs2 = v2.vis_to_dir(num=1)
+    assert not np.allclose(imgs, imgs2, atol=1e-5)
