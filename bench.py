@@ -73,14 +73,19 @@ def main():
         init_kw = dict(pooled_text_emb=jnp.zeros((1, 1280), dtype),
                        time_ids=jnp.zeros((1, 6), jnp.float32))
     _v(f'init UNet ({model}, {size}px, batch {batch})')
-    unet_params = unet.init(rng, jnp.zeros((1, lat, lat, 4), dtype),
-                            jnp.array([0]), jnp.zeros((1, 77, ctx_dim), dtype),
-                            **init_kw)['params']
+    # jitted init: eager flax init dispatches thousands of tiny ops, which
+    # over the axon tunnel costs ~10 min; one compiled program (persistent-
+    # cached across bench rows) takes seconds.
+    unet_params = jax.jit(unet.init)(
+        rng, jnp.zeros((1, lat, lat, 4), dtype),
+        jnp.array([0]), jnp.zeros((1, 77, ctx_dim), dtype),
+        **init_kw)['params']
     _v('UNet init done')
     vcfg = VAEConfig.sd()
     vae = AutoencoderKL(vcfg, dtype=dtype)
-    vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
-                          jax.random.PRNGKey(2))['params']
+    vae_params = jax.jit(vae.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+        jax.random.PRNGKey(2))['params']
 
     # inference-time weight cast: params live in HBM as bf16, halving the
     # weight reads each of the 2x20 UNet invocations per generation

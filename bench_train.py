@@ -50,18 +50,21 @@ def main():
     if sdxl:
         init_kw = dict(pooled_text_emb=jnp.zeros((1, 1280)),
                        time_ids=jnp.zeros((1, 6)))
-    unet_params = unet.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, lat, lat, 4)), jnp.array([0]),
-                            jnp.zeros((1, 77, ctx_dim)), **init_kw)['params']
+    # jitted init: eager flax init dispatches thousands of tiny ops over the
+    # axon tunnel (~10 min); one compiled, persistent-cached program instead.
+    unet_params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 4)), jnp.array([0]),
+        jnp.zeros((1, 77, ctx_dim)), **init_kw)['params']
     tcfg = CLIPTextConfig.sd15()
     te = CLIPTextModel(tcfg, dtype=jnp.float32)
-    te_params = te.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))['params']
+    te_params = jax.jit(te.init)(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, 77), jnp.int32))['params']
     te2 = te2_params = None
     if sdxl:
         from hcpdiff_tpu.models.clip import CLIPTextConfig as _TC
         te2 = CLIPTextModel(_TC.sdxl_big_g(), dtype=jnp.float32)
-        te2_params = te2.init(jax.random.PRNGKey(4),
-                              jnp.zeros((1, 77), jnp.int32))['params']
+        te2_params = jax.jit(te2.init)(jax.random.PRNGKey(4),
+                                       jnp.zeros((1, 77), jnp.int32))['params']
 
     schedule = NoiseSchedule.make()
     overlay, scales = make_lora_overlay(

@@ -34,9 +34,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .matmul import _VMEM_LIMIT, _pick, _pl_call
+from .matmul import _pl_call
 
 _VMEM_BUDGET = 20 * 1024 * 1024
+# Mosaic's actual scoped-VMEM stack allocation for this kernel runs ~1.7x
+# the _footprint model (measured on-chip round 4: model 20.5M -> Mosaic
+# 34.7M at [16,64,64,320] w/ res — epilogue temporaries and input
+# double-buffering aren't in the model). Budget 20M * 1.7 ~= 35M peak, so
+# a 64M scoped limit leaves real headroom on v5e's 128M VMEM.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _conv3_kernel(xp_ref, w_ref, b_ref, *rest, H: int, W: int,
