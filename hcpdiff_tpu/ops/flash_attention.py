@@ -204,6 +204,14 @@ def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
+        # default 16M scoped limit is slightly blown at D=512 (SDXL VAE
+        # decode, S=16384: Mosaic wants 17.22M with 1k x 1k blocks —
+        # measured on-chip round 4); the k-block dim is the sequential
+        # online-softmax carry
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel',
+                                 'arbitrary'),
+            vmem_limit_bytes=32 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Sq * Sk * D,
             bytes_accessed=(B * H * (Sq + 2 * Sk) * D * q.dtype.itemsize),
