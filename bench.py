@@ -33,6 +33,16 @@ BASELINES = {
     ('sdxl', 1024): 0.55,
 }
 
+# TFLOP per image for the exact 20-step CFG loop + VAE decode, from the
+# calibrated analytic model (tools_dev/flops_model.py; <1% vs XLA
+# cost_analysis). Lets the JSON line report achieved TF/s and MFU.
+TFLOP_PER_IMAGE = {
+    ('sd15', 512): 34.65,
+    ('sd15', 768): 91.68,
+    ('sdxl', 1024): 280.92,
+}
+V5E_BF16_PEAK_TFLOPS = 197.0
+
 
 def _v(msg):
     if os.environ.get('BENCH_VERBOSE', '0') == '1':
@@ -140,12 +150,17 @@ def main():
     if dc:
         name += f' +DeepCache/{dc}'
     baseline = BASELINES.get((model, size))
-    print(json.dumps({
+    line = {
         'metric': f'{name} {size}px {steps}-step txt2img (CFG, DPM++ 2M, bf16)',
         'value': round(img_per_s, 4),
         'unit': 'images/sec/chip',
         'vs_baseline': round(img_per_s / baseline, 4) if baseline else None,
-    }))
+    }
+    tf = TFLOP_PER_IMAGE.get((model, size))
+    if tf and steps == 20 and not dc:
+        line['achieved_tflops_per_sec'] = round(img_per_s * tf, 1)
+        line['mfu'] = round(img_per_s * tf / V5E_BF16_PEAK_TFLOPS, 3)
+    print(json.dumps(line))
 
 
 if __name__ == '__main__':

@@ -31,11 +31,22 @@ import os
 DEFAULT_BLOCK_Q = int(os.environ.get('HCP_FLASH_BQ', '1024'))
 DEFAULT_BLOCK_K = int(os.environ.get('HCP_FLASH_BK', '1024'))
 NEG_INF = -1e30
+# No-max softmax safety ceiling, in log2 units of the scaled logits
+# (exp2 mode). exp2(80) = 1.2e24; a full fp32 row sum over even 10^6 keys
+# stays < 1.2e30 and the PV accumulation < ~1e33 — far from fp32
+# overflow (3.4e38). Exactness additionally needs the row max above the
+# fp32 denormal window (> -100 log2); real attention logits sit within
+# +-60 log2 units, so both bounds have orders-of-magnitude margin. The
+# clamp only engages on inputs whose softmax is already saturated
+# one-hot. exp mode uses the natural-units equivalent (80 * ln 2 ~ 55).
+NOMAX_CLAMP = 80.0
+NOMAX_CLAMP_NAT = 55.0
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   block_k: int, seq_k: int, scale: float, causal: bool,
-                  block_q: int, use_exp2: bool, p_bf16: bool):
+                  block_q: int, use_exp2: bool, p_bf16: bool,
+                  no_max: bool = False):
     qi = pl.program_id(2)
     # exp2 softmax: exp(x) = exp2(x * log2 e); the log2 e factor folds into
     # the existing q scale, so the running max/sum run in log2 space for
@@ -49,6 +60,32 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body_no_max(ki, _):
+        # No-running-max online softmax (kernel is VPU-bound, not MXU-
+        # bound — BASELINE.md round 4): with fp32 accumulators the max
+        # subtraction is only an overflow guard, so an upper clamp at
+        # NOMAX_CLAMP replaces the max-reduce, broadcast-subtract and
+        # accumulator rescale. Exact (softmax is shift-free here) as long
+        # as some row score lands above the fp32 underflow window — true
+        # by construction for attention logits (see NOMAX_CLAMP note).
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if causal:
+            q_ids = (qi * block_q
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            k_ids = (ki * block_k
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        p = expf(jnp.minimum(
+            s, NOMAX_CLAMP if use_exp2 else NOMAX_CLAMP_NAT))
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        l_ref[:, 0] = l_ref[:, 0] + jnp.sum(p, axis=1, dtype=jnp.float32)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return ()
 
     def body(ki, _):
         k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
@@ -79,6 +116,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         m_ref[:, 0] = m_cur
         return ()
 
+    if no_max:
+        body = body_no_max
+
     if causal:
         # only blocks with k_start <= q_end contribute
         upper = jnp.minimum(num_k, (qi + 1) * block_q // block_k + 1)
@@ -106,7 +146,8 @@ _SCOPED_VMEM_BUDGET = 15.9e6
 
 def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, *rest, num_k: int,
                          scale: float, causal: bool, block_q: int,
-                         block_k: int, use_exp2: bool, emit_lse: bool):
+                         block_k: int, use_exp2: bool, emit_lse: bool,
+                         no_max: bool = False):
     """Streaming variant: grid (B, H, q-blocks, k-blocks) with the online
     (max, sum, acc) state carried in scratch across the sequential k grid
     dimension — only ONE [BK, D] K/V block is VMEM-resident at a time, so
@@ -141,17 +182,28 @@ def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, *rest, num_k: int,
             k_ids = (ki * block_k
                      + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
-        m_prev = m_ref[:, 0]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = expf(m_prev - m_cur)
-        p = expf(s - m_cur[:, None])
         v = v_ref[0, 0].astype(jnp.float32)
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1,
-                                                    dtype=jnp.float32)
-        acc_ref[:] = (acc_ref[:] * alpha[:, None]
-                      + jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32))
-        m_ref[:, 0] = m_cur
+        if no_max:
+            # see _flash_kernel.body_no_max / NOMAX_CLAMP
+            p = expf(jnp.minimum(
+                s, NOMAX_CLAMP if use_exp2 else NOMAX_CLAMP_NAT))
+            l_ref[:, 0] = l_ref[:, 0] + jnp.sum(p, axis=1,
+                                                dtype=jnp.float32)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            m_prev = m_ref[:, 0]
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+            alpha = expf(m_prev - m_cur)
+            p = expf(s - m_cur[:, None])
+            l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1,
+                                                        dtype=jnp.float32)
+            acc_ref[:] = (acc_ref[:] * alpha[:, None]
+                          + jax.lax.dot_general(
+                              p, v, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+            m_ref[:, 0] = m_cur
 
     if causal:
         # fully-masked blocks (k block entirely above the diagonal) skip the
@@ -165,7 +217,12 @@ def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, *rest, num_k: int,
         l = jnp.maximum(l_ref[:, 0], 1e-20)
         o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
         if emit_lse:
-            lse = jnp.log(l) + m_ref[:, 0] * (LN2 if use_exp2 else 1.0)
+            if no_max:
+                # sums were never shifted: l = sum(exp2(s_log2)) =
+                # sum(exp(s_nat)), so lse_nat = ln(l) in both exp modes
+                lse = jnp.log(l)
+            else:
+                lse = jnp.log(l) + m_ref[:, 0] * (LN2 if use_exp2 else 1.0)
             lse_ref[0, 0] = lse[:, None]
 
 
@@ -174,10 +231,11 @@ def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
+    no_max = os.environ.get('HCP_FLASH_NOMAX', '0') == '1'
     kernel = functools.partial(
         _flash_kernel_stream, num_k=Sk // block_k, scale=scale,
         causal=causal, block_q=block_q, block_k=block_k,
-        use_exp2=use_exp2, emit_lse=emit_lse)
+        use_exp2=use_exp2, emit_lse=emit_lse, no_max=no_max)
     out_specs = [pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype)]
@@ -257,10 +315,12 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Dp = D
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
     p_bf16 = os.environ.get('HCP_FLASH_P_BF16', '0') == '1'
+    no_max = os.environ.get('HCP_FLASH_NOMAX', '0') == '1'
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, seq_k=Sk,
                                scale=scale, causal=causal, block_q=block_q,
-                               use_exp2=use_exp2, p_bf16=p_bf16)
+                               use_exp2=use_exp2, p_bf16=p_bf16,
+                               no_max=no_max)
     out = pl.pallas_call(
         kernel,
         grid=(B, H, Sq // block_q),

@@ -274,3 +274,53 @@ def test_flash_vae_head_dim_512_streams():
     # numeric check at a small-but-streaming shape (interpret mode)
     out, ref = _run(B=1, H=1, Sq=256, Sk=256, D=512)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_nomax_matches_reference(monkeypatch):
+    """HCP_FLASH_NOMAX=1: no-running-max online softmax (upper clamp as
+    the overflow guard) must be numerically identical to the reference
+    for realistic score ranges — resident kernel, multi-block, D=40."""
+    monkeypatch.setenv('HCP_FLASH_NOMAX', '1')
+    out, ref = _run(Sq=512, Sk=512, D=40)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    out, ref = _run(Sq=512, Sk=512, D=40, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_nomax_large_scores(monkeypatch):
+    """Scores ~20x the usual magnitude (|s| up to ~60 natural units)
+    stay inside the clamp margin and match the reference exactly."""
+    monkeypatch.setenv('HCP_FLASH_NOMAX', '1')
+    rng = jax.random.PRNGKey(7)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    D = 40
+    q = jax.random.normal(r1, (1, 2, 256, D)) * 12.0
+    k = jax.random.normal(r2, (1, 2, 256, D))
+    v = jax.random.normal(r3, (1, 2, 256, D))
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    ref = _xla_reference(q, k, v, False, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_nomax_stream(monkeypatch):
+    """Streaming kernel with no_max: output parity AND the lse output
+    (training forward) must equal the true logsumexp in natural units."""
+    from hcpdiff_tpu.ops.flash_attention import _flash_forward_stream
+    monkeypatch.setenv('HCP_FLASH_NOMAX', '1')
+    rng = jax.random.PRNGKey(8)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    D, S = 40, 512
+    q = jax.random.normal(r1, (1, 2, S, D))
+    k = jax.random.normal(r2, (1, 2, S, D))
+    v = jax.random.normal(r3, (1, 2, S, D))
+    scale = D ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_forward_stream(q, k, v, False, scale, 256, 256,
+                                         emit_lse=True)
+    ref = _xla_reference(q, k, v, False, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) * scale
+    lse_ref = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                               atol=2e-5)
