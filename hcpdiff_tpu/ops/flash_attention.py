@@ -354,17 +354,21 @@ LN2 = 0.6931471805599453
 def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
                       l_ref, *, block_k: int, seq_k: int, scale: float,
                       causal: bool, block_q: int, use_exp2: bool,
-                      p_bf16: bool):
+                      p_bf16: bool, no_max: bool = False):
     """Forward that also emits the natural-log row logsumexp (for the
     fused Pallas backward)."""
     _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                   block_k=block_k, seq_k=seq_k, scale=scale, causal=causal,
-                  block_q=block_q, use_exp2=use_exp2, p_bf16=p_bf16)
-    m = m_ref[:, 0]
+                  block_q=block_q, use_exp2=use_exp2, p_bf16=p_bf16,
+                  no_max=no_max)
     l = jnp.maximum(l_ref[:, 0], 1e-20)
-    # exp2 mode tracks the max in log2 units of the scaled logits:
-    # sum(exp(s_nat)) = l * 2^m  ->  lse = ln l + m ln 2
-    lse = jnp.log(l) + m * (LN2 if use_exp2 else 1.0)
+    if no_max:
+        # unshifted sums: l = sum(exp(s_nat)) directly in both exp modes
+        lse = jnp.log(l)
+    else:
+        # exp2 mode tracks the max in log2 units of the scaled logits:
+        # sum(exp(s_nat)) = l * 2^m  ->  lse = ln l + m ln 2
+        lse = jnp.log(l) + m_ref[:, 0] * (LN2 if use_exp2 else 1.0)
     lse_ref[0, 0] = lse[:, None]
 
 
@@ -379,9 +383,11 @@ def _flash_forward_lse(q, k, v, causal, scale, block_q=DEFAULT_BLOCK_Q,
         return _flash_forward_stream(q, k, v, causal, scale, block_q,
                                      block_k, emit_lse=True)
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
+    no_max = os.environ.get('HCP_FLASH_NOMAX', '0') == '1'
     kernel = functools.partial(_flash_kernel_lse, block_k=block_k, seq_k=Sk,
                                scale=scale, causal=causal, block_q=block_q,
-                               use_exp2=use_exp2, p_bf16=False)
+                               use_exp2=use_exp2, p_bf16=False,
+                               no_max=no_max)
     o, lse = pl.pallas_call(
         kernel,
         grid=(B, H, Sq // block_q),

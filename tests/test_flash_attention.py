@@ -324,3 +324,31 @@ def test_flash_nomax_stream(monkeypatch):
     lse_ref = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
                                atol=2e-5)
+
+
+def test_flash_nomax_backward(monkeypatch):
+    """no_max in the lse (training) forward: the Pallas backward consumes
+    the emitted lse, so gradients must match the XLA reference too."""
+    monkeypatch.setenv('HCP_FLASH_NOMAX', '1')
+    from hcpdiff_tpu.ops.flash_attention import _make_flash
+    _make_flash.cache_clear()
+    try:
+        D = 40
+        q = jax.random.normal(jax.random.PRNGKey(11), (1, 2, 512, D))
+        k = jax.random.normal(jax.random.PRNGKey(12), (1, 2, 512, D))
+        v = jax.random.normal(jax.random.PRNGKey(13), (1, 2, 512, D))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_xla_reference(q, k, v, False, D ** -0.5) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, 'qkv'):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, err_msg=f'd{name}')
+    finally:
+        _make_flash.cache_clear()
