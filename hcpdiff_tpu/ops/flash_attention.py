@@ -46,7 +46,7 @@ NOMAX_CLAMP_NAT = 55.0
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   block_k: int, seq_k: int, scale: float, causal: bool,
                   block_q: int, use_exp2: bool, p_bf16: bool,
-                  no_max: bool = False):
+                  no_max: bool = False, mxu_sum: bool = False):
     qi = pl.program_id(2)
     # exp2 softmax: exp(x) = exp2(x * log2 e); the log2 e factor folds into
     # the existing q scale, so the running max/sum run in log2 space for
@@ -81,10 +81,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         p = expf(jnp.minimum(
             s, NOMAX_CLAMP if use_exp2 else NOMAX_CLAMP_NAT))
         v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        l_ref[:, 0] = l_ref[:, 0] + jnp.sum(p, axis=1, dtype=jnp.float32)
-        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if mxu_sum:
+            # ride the row sum on the MXU: augment V with a ones column
+            # (D=40/80 pads to 128 lanes anyway, so the PV matmul cost
+            # is unchanged) — acc's last column accumulates l, and the
+            # per-element VPU row-sum disappears. acc_ref is [BQ, D+1].
+            v = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), jnp.float32)], axis=1)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            l_ref[:, 0] = l_ref[:, 0] + jnp.sum(p, axis=1,
+                                                dtype=jnp.float32)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return ()
 
     def body(ki, _):
@@ -126,8 +138,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     else:
         jax.lax.fori_loop(0, num_k, body, ())
 
-    o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0], 1e-20)[:, None]
-                   ).astype(o_ref.dtype)
+    if no_max and mxu_sum:
+        acc = acc_ref[:]                      # [BQ, D+1]; last col = l
+        l = jnp.maximum(acc[:, -1], 1e-20)
+        o_ref[0, 0] = (acc[:, :-1] / l[:, None]).astype(o_ref.dtype)
+    else:
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0], 1e-20)[:, None]
+                       ).astype(o_ref.dtype)
 
 
 def _resident_fwd_bytes(block_q: int, block_k: int, seq_k: int, d: int,
@@ -316,11 +333,12 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
     p_bf16 = os.environ.get('HCP_FLASH_P_BF16', '0') == '1'
     no_max = os.environ.get('HCP_FLASH_NOMAX', '0') == '1'
+    mxu_sum = no_max and os.environ.get('HCP_FLASH_MXU_SUM', '0') == '1'
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, seq_k=Sk,
                                scale=scale, causal=causal, block_q=block_q,
                                use_exp2=use_exp2, p_bf16=p_bf16,
-                               no_max=no_max)
+                               no_max=no_max, mxu_sum=mxu_sum)
     out = pl.pallas_call(
         kernel,
         grid=(B, H, Sq // block_q),
@@ -336,7 +354,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, Dp), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, Dp), jnp.float32),
+            pltpu.VMEM((block_q, Dp + 1 if mxu_sum else Dp), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],

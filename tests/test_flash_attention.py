@@ -352,3 +352,14 @@ def test_flash_nomax_backward(monkeypatch):
                                        atol=2e-4, err_msg=f'd{name}')
     finally:
         _make_flash.cache_clear()
+
+
+def test_flash_nomax_mxu_sum(monkeypatch):
+    """HCP_FLASH_MXU_SUM: row sums ride the PV matmul via a ones-
+    augmented V column — must match the reference exactly."""
+    monkeypatch.setenv('HCP_FLASH_NOMAX', '1')
+    monkeypatch.setenv('HCP_FLASH_MXU_SUM', '1')
+    out, ref = _run(Sq=512, Sk=512, D=40)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    out, ref = _run(Sq=512, Sk=512, D=40, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
