@@ -24,6 +24,7 @@ run() {
 run control       3600 BENCH_VERBOSE=1 python bench.py
 # no-max flash softmax — the attention-bucket lever
 run nomax         3600 BENCH_VERBOSE=1 HCP_FLASH_NOMAX=1 python bench.py
+run nomax_mxusum  3600 BENCH_VERBOSE=1 HCP_FLASH_NOMAX=1 HCP_FLASH_MXU_SUM=1 python bench.py
 run nomax_train   3600 HCP_FLASH_NOMAX=1 python bench_train.py
 # SDXL-1024 rerun, clean chip
 run sdxl_1024     5400 BENCH_VERBOSE=1 BENCH_MODEL=sdxl HCP_FLASH_VAE=1 python bench.py
