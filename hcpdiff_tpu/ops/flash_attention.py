@@ -164,7 +164,7 @@ _SCOPED_VMEM_BUDGET = 15.9e6
 def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, *rest, num_k: int,
                          scale: float, causal: bool, block_q: int,
                          block_k: int, use_exp2: bool, emit_lse: bool,
-                         no_max: bool = False):
+                         no_max: bool = False, mxu_sum: bool = False):
     """Streaming variant: grid (B, H, q-blocks, k-blocks) with the online
     (max, sum, acc) state carried in scratch across the sequential k grid
     dimension — only ONE [BK, D] K/V block is VMEM-resident at a time, so
@@ -204,11 +204,18 @@ def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, *rest, num_k: int,
             # see _flash_kernel.body_no_max / NOMAX_CLAMP
             p = expf(jnp.minimum(
                 s, NOMAX_CLAMP if use_exp2 else NOMAX_CLAMP_NAT))
-            l_ref[:, 0] = l_ref[:, 0] + jnp.sum(p, axis=1,
-                                                dtype=jnp.float32)
-            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if mxu_sum:  # see _flash_kernel: acc's last column carries l
+                v = jnp.concatenate(
+                    [v, jnp.ones((v.shape[0], 1), jnp.float32)], axis=1)
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    p, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                l_ref[:, 0] = l_ref[:, 0] + jnp.sum(p, axis=1,
+                                                    dtype=jnp.float32)
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    p, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         else:
             m_prev = m_ref[:, 0]
             m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -231,8 +238,13 @@ def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, *rest, num_k: int,
 
     @pl.when(ki == num_k - 1)
     def _finish():
-        l = jnp.maximum(l_ref[:, 0], 1e-20)
-        o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
+        if no_max and mxu_sum:
+            acc = acc_ref[:]                   # [BQ, D+1]; last col = l
+            l = jnp.maximum(acc[:, -1], 1e-20)
+            o_ref[0, 0] = (acc[:, :-1] / l[:, None]).astype(o_ref.dtype)
+        else:
+            l = jnp.maximum(l_ref[:, 0], 1e-20)
+            o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
         if emit_lse:
             if no_max:
                 # sums were never shifted: l = sum(exp2(s_log2)) =
@@ -249,10 +261,12 @@ def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
     Sk = k.shape[2]
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
     no_max = os.environ.get('HCP_FLASH_NOMAX', '0') == '1'
+    mxu_sum = no_max and os.environ.get('HCP_FLASH_MXU_SUM', '0') == '1'
     kernel = functools.partial(
         _flash_kernel_stream, num_k=Sk // block_k, scale=scale,
         causal=causal, block_q=block_q, block_k=block_k,
-        use_exp2=use_exp2, emit_lse=emit_lse, no_max=no_max)
+        use_exp2=use_exp2, emit_lse=emit_lse, no_max=no_max,
+        mxu_sum=mxu_sum)
     out_specs = [pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype)]
@@ -275,7 +289,7 @@ def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, D + 1 if mxu_sum else D), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],

@@ -363,3 +363,26 @@ def test_flash_nomax_mxu_sum(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=2e-5)
     out, ref = _run(Sq=512, Sk=512, D=40, causal=True)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_nomax_mxu_sum_stream(monkeypatch):
+    """Streaming kernel with mxu_sum: output + lse parity."""
+    from hcpdiff_tpu.ops.flash_attention import _flash_forward_stream
+    monkeypatch.setenv('HCP_FLASH_NOMAX', '1')
+    monkeypatch.setenv('HCP_FLASH_MXU_SUM', '1')
+    rng = jax.random.PRNGKey(21)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    D, S = 40, 512
+    q = jax.random.normal(r1, (1, 2, S, D))
+    k = jax.random.normal(r2, (1, 2, S, D))
+    v = jax.random.normal(r3, (1, 2, S, D))
+    scale = D ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_forward_stream(q, k, v, False, scale, 256, 256,
+                                         emit_lse=True)
+    ref = _xla_reference(q, k, v, False, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) * scale
+    lse_ref = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                               atol=2e-5)
