@@ -31,7 +31,8 @@ run sdxl_1024     5400 BENCH_VERBOSE=1 BENCH_MODEL=sdxl HCP_FLASH_VAE=1 python b
 # batch 16 under the round-3/4 default mix (ff Pallas kernels landed
 # since the round-2 batch test)
 run batch16       3600 BENCH_VERBOSE=1 BENCH_BATCH=16 python bench.py
-# no-max at 768px (attention share doubles there)
-run nomax_768     3600 BENCH_VERBOSE=1 BENCH_SIZE=768 BENCH_BATCH=4 HCP_FLASH_NOMAX=1 python bench.py
+# no-max at 768px (attention share doubles there; batch 8 = the better
+# default per wave C: 0.98 vs 0.93 img/s)
+run nomax_768     3600 BENCH_VERBOSE=1 BENCH_SIZE=768 HCP_FLASH_NOMAX=1 HCP_FLASH_MXU_SUM=1 python bench.py
 
 echo "DONE $(date)" | tee -a "$OUT"
