@@ -98,9 +98,13 @@ def main():
         jax.random.PRNGKey(2))['params']
 
     # inference-time weight cast: params live in HBM as bf16, halving the
-    # weight reads each of the 2x20 UNet invocations per generation
-    cast = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
+    # weight reads each of the 2x20 UNet invocations per generation.
+    # donate_argnums frees each fp32 buffer as its convert completes —
+    # without it the fp32 tree (10.4 GB for SDXL) and the bf16 copy are
+    # live simultaneously and SDXL OOMs a 16 GB v5e before the loop runs.
+    cast = jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t),
+        donate_argnums=0)
     unet_params = cast(unet_params)
     vae_params = cast(vae_params)
 

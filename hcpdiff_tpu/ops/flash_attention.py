@@ -140,8 +140,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
     if no_max and mxu_sum:
         acc = acc_ref[:]                      # [BQ, D+1]; last col = l
-        l = jnp.maximum(acc[:, -1], 1e-20)
-        o_ref[0, 0] = (acc[:, :-1] / l[:, None]).astype(o_ref.dtype)
+        # static slices only: a negative jnp index traces to select_n +
+        # dynamic_slice, which Mosaic's TPU lowering rejects
+        d = acc.shape[1] - 1
+        l = jnp.maximum(jax.lax.slice_in_dim(acc, d, d + 1, axis=1)[:, 0],
+                        1e-20)
+        o_ref[0, 0] = (jax.lax.slice_in_dim(acc, 0, d, axis=1)
+                       / l[:, None]).astype(o_ref.dtype)
     else:
         o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0], 1e-20)[:, None]
                        ).astype(o_ref.dtype)
@@ -240,8 +245,13 @@ def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, *rest, num_k: int,
     def _finish():
         if no_max and mxu_sum:
             acc = acc_ref[:]                   # [BQ, D+1]; last col = l
-            l = jnp.maximum(acc[:, -1], 1e-20)
-            o_ref[0, 0] = (acc[:, :-1] / l[:, None]).astype(o_ref.dtype)
+            # static slices only (see _flash_kernel): negative jnp indices
+            # trace to dynamic_slice, unsupported by Mosaic TPU lowering
+            d = acc.shape[1] - 1
+            l = jnp.maximum(
+                jax.lax.slice_in_dim(acc, d, d + 1, axis=1)[:, 0], 1e-20)
+            o_ref[0, 0] = (jax.lax.slice_in_dim(acc, 0, d, axis=1)
+                           / l[:, None]).astype(o_ref.dtype)
         else:
             l = jnp.maximum(l_ref[:, 0], 1e-20)
             o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)

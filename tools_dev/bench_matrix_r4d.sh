@@ -26,8 +26,15 @@ run control       3600 BENCH_VERBOSE=1 python bench.py
 run nomax         3600 BENCH_VERBOSE=1 HCP_FLASH_NOMAX=1 python bench.py
 run nomax_mxusum  3600 BENCH_VERBOSE=1 HCP_FLASH_NOMAX=1 HCP_FLASH_MXU_SUM=1 python bench.py
 run nomax_train   3600 HCP_FLASH_NOMAX=1 python bench_train.py
-# SDXL-1024 rerun, clean chip
+# SDXL-1024 rerun, clean chip (donated fp32->bf16 cast fixes the wave-C
+# OOM at the cast peak); fall back to smaller batches if b4 still OOMs
 run sdxl_1024     5400 BENCH_VERBOSE=1 BENCH_MODEL=sdxl HCP_FLASH_VAE=1 python bench.py
+if grep -q "FAIL(sdxl_1024)" "$OUT"; then
+  run sdxl_1024_b2 5400 BENCH_VERBOSE=1 BENCH_MODEL=sdxl BENCH_BATCH=2 HCP_FLASH_VAE=1 python bench.py
+fi
+if grep -q "FAIL(sdxl_1024_b2)" "$OUT"; then
+  run sdxl_1024_b1 5400 BENCH_VERBOSE=1 BENCH_MODEL=sdxl BENCH_BATCH=1 HCP_FLASH_VAE=1 python bench.py
+fi
 # batch 16 under the round-3/4 default mix (ff Pallas kernels landed
 # since the round-2 batch test)
 run batch16       3600 BENCH_VERBOSE=1 BENCH_BATCH=16 python bench.py
