@@ -13,6 +13,14 @@ padding (Mosaic pads sub-128 minor dims inside VMEM tiles) and no
 ~20% of the denoise loop). Block sizes are chosen to divide S exactly
 (see _pick_block), so any S works; the dispatcher additionally prefers
 S % 128 == 0 so blocks stay tile-aligned.
+
+Softmax defaults (v5e round-4 A/B, BASELINE.md): the kernel is VPU-
+bound, so the no-running-max variant (HCP_FLASH_NOMAX, clamp instead of
+max-reduce/rescale — see NOMAX_CLAMP) and the MXU-ridden row sum
+(HCP_FLASH_MXU_SUM, ones-column on V) are both ON by default:
+3.055 -> 3.199 img/s at 512px (+4.7%), 31.74 -> 32.29 samples/s
+training. Set either env var to 0 to restore the classic online
+softmax.
 """
 from __future__ import annotations
 
@@ -270,8 +278,8 @@ def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
-    no_max = os.environ.get('HCP_FLASH_NOMAX', '0') == '1'
-    mxu_sum = no_max and os.environ.get('HCP_FLASH_MXU_SUM', '0') == '1'
+    no_max = os.environ.get('HCP_FLASH_NOMAX', '1') == '1'
+    mxu_sum = no_max and os.environ.get('HCP_FLASH_MXU_SUM', '1') == '1'
     kernel = functools.partial(
         _flash_kernel_stream, num_k=Sk // block_k, scale=scale,
         causal=causal, block_q=block_q, block_k=block_k,
@@ -356,8 +364,8 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Dp = D
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
     p_bf16 = os.environ.get('HCP_FLASH_P_BF16', '0') == '1'
-    no_max = os.environ.get('HCP_FLASH_NOMAX', '0') == '1'
-    mxu_sum = no_max and os.environ.get('HCP_FLASH_MXU_SUM', '0') == '1'
+    no_max = os.environ.get('HCP_FLASH_NOMAX', '1') == '1'
+    mxu_sum = no_max and os.environ.get('HCP_FLASH_MXU_SUM', '1') == '1'
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, seq_k=Sk,
                                scale=scale, causal=causal, block_q=block_q,
@@ -425,7 +433,7 @@ def _flash_forward_lse(q, k, v, causal, scale, block_q=DEFAULT_BLOCK_Q,
         return _flash_forward_stream(q, k, v, causal, scale, block_q,
                                      block_k, emit_lse=True)
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
-    no_max = os.environ.get('HCP_FLASH_NOMAX', '0') == '1'
+    no_max = os.environ.get('HCP_FLASH_NOMAX', '1') == '1'
     kernel = functools.partial(_flash_kernel_lse, block_k=block_k, seq_k=Sk,
                                scale=scale, causal=causal, block_q=block_q,
                                use_exp2=use_exp2, p_bf16=False,
