@@ -54,9 +54,11 @@ def make_loop(core):
 
 
 def bench(run, *args):
-    run(*args).block_until_ready()
+    # block_until_ready through the axon tunnel does not reliably wait;
+    # a host transfer (float()) is the only trustworthy barrier here.
+    float(run(*args))
     t0 = time.perf_counter()
-    run(*args).block_until_ready()
+    float(run(*args))
     return (time.perf_counter() - t0) / ITERS
 
 
