@@ -19,8 +19,17 @@ normally quoted (pipeline with cached prompt embeds).
 Extra modes (not used by the driver, which runs plain `python bench.py`):
   BENCH_MODEL=sdxl    SDXL base (2048-d context, pooled+time_ids), 1024px
   BENCH_SIZE=768      other resolutions for the sd15 model
-Their baselines: SDXL-1024 A100+xFormers ~= 0.55 img/s (public ~1.8 s/img
-at 30 steps scaled to 20), SD1.5-768 ~= 1.1 img/s (2.25x pixel FLOPs).
+
+Their baselines are FLOP-consistent A100+xFormers estimates: the 512px
+anchor (2.5 img/s x 34.65 TF/img) puts the A100 at 87 TF/s (28% of its
+312 TF/s fp16 peak); holding that 87 TF/s across the calibrated FLOP
+model (TFLOP_PER_IMAGE below, tools_dev/flops_model.py) gives
+768px -> 87/91.68 = 0.95 img/s and SDXL-1024 -> 87/280.92 = 0.31 img/s.
+Earlier rounds shipped 1.1 (768, assumed pixel-proportional FLOPs — but
+attention is S^2, true growth is 2.65x not 2.25x) and 0.55 (SDXL, a
+public ~1.8 s/img@30-step scaling that implies the A100 jumps to 49%
+MFU on SDXL, inconsistent with its own 512px anchor). Derivations:
+BASELINE.md round-4 roofline section.
 """
 import json
 import os
@@ -29,8 +38,8 @@ import time
 
 BASELINES = {
     ('sd15', 512): 2.5,
-    ('sd15', 768): 1.1,
-    ('sdxl', 1024): 0.55,
+    ('sd15', 768): 0.95,   # was 1.1 (FLOP-inconsistent; see module docstring)
+    ('sdxl', 1024): 0.31,  # was 0.55 (FLOP-inconsistent; see module docstring)
 }
 
 # TFLOP per image for the exact 20-step CFG loop + VAE decode, from the

@@ -54,7 +54,8 @@ NOMAX_CLAMP_NAT = 55.0
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   block_k: int, seq_k: int, scale: float, causal: bool,
                   block_q: int, use_exp2: bool, p_bf16: bool,
-                  no_max: bool = False, mxu_sum: bool = False):
+                  no_max: bool = False, mxu_sum: bool = False,
+                  unroll2: bool = False):
     qi = pl.program_id(2)
     # exp2 softmax: exp(x) = exp2(x * log2 e); the log2 e factor folds into
     # the existing q scale, so the running max/sum run in log2 space for
@@ -88,14 +89,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
         p = expf(jnp.minimum(
             s, NOMAX_CLAMP if use_exp2 else NOMAX_CLAMP_NAT))
-        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        pv_dtype = jnp.bfloat16 if p_bf16 else jnp.float32
+        if p_bf16:
+            # honor the HCP_FLASH_P_BF16 knob here too (it was silently
+            # dead under the no-max default — ADVICE r4 low #3): bf16 p
+            # halves the PV operand bytes; row sums still accumulate fp32
+            # via preferred_element_type.
+            p = p.astype(jnp.bfloat16)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(pv_dtype)
         if mxu_sum:
             # ride the row sum on the MXU: augment V with a ones column
             # (D=40/80 pads to 128 lanes anyway, so the PV matmul cost
             # is unchanged) — acc's last column accumulates l, and the
             # per-element VPU row-sum disappears. acc_ref is [BQ, D+1].
             v = jnp.concatenate(
-                [v, jnp.ones((v.shape[0], 1), jnp.float32)], axis=1)
+                [v, jnp.ones((v.shape[0], 1), pv_dtype)], axis=1)
             acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -139,10 +147,51 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     if no_max:
         body = body_no_max
 
+    def _load_kv(ki):
+        pv_dtype = jnp.bfloat16 if p_bf16 else jnp.float32
+        k = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(pv_dtype)
+        if mxu_sum:
+            v = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), pv_dtype)], axis=1)
+        return k, v
+
+    def body_no_max_pair(i, _):
+        # 2-way unrolled no-max body: block ki+1's QK^T (MXU) is
+        # independent of block ki's exp (VPU), so the VLIW scheduler can
+        # overlap them — the serial s->exp->PV chain of the 1-block body
+        # leaves whichever unit is not the bottleneck idle. Also halves
+        # the acc_ref read-modify-writes (one combined add per pair).
+        ki = i * 2
+        clamp = NOMAX_CLAMP if use_exp2 else NOMAX_CLAMP_NAT
+        pv_dtype = jnp.bfloat16 if p_bf16 else jnp.float32
+        k0, v0 = _load_kv(ki)
+        s0 = jax.lax.dot_general(q, k0, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        p0 = expf(jnp.minimum(s0, clamp)).astype(pv_dtype)
+        k1, v1 = _load_kv(ki + 1)
+        s1 = jax.lax.dot_general(q, k1, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        p1 = expf(jnp.minimum(s1, clamp)).astype(pv_dtype)
+        pv = (jax.lax.dot_general(p0, v0, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(p1, v1, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+        if mxu_sum:
+            acc_ref[:] = acc_ref[:] + pv
+        else:
+            l_ref[:, 0] = (l_ref[:, 0]
+                           + jnp.sum(p0.astype(jnp.float32), axis=1)
+                           + jnp.sum(p1.astype(jnp.float32), axis=1))
+            acc_ref[:] = acc_ref[:] + pv
+        return ()
+
     if causal:
         # only blocks with k_start <= q_end contribute
         upper = jnp.minimum(num_k, (qi + 1) * block_q // block_k + 1)
         jax.lax.fori_loop(0, upper, body, ())
+    elif no_max and unroll2 and num_k % 2 == 0:
+        jax.lax.fori_loop(0, num_k // 2, body_no_max_pair, ())
     else:
         jax.lax.fori_loop(0, num_k, body, ())
 
@@ -327,6 +376,127 @@ def _flash_forward_stream(q, k, v, causal, scale, block_q, block_k,
     return tuple(result) if emit_lse else result[0]
 
 
+def _flash_kernel_tq(qt_ref, k_ref, vt_ref, ot_ref, acc_ref, *, num_k: int,
+                     scale: float, causal: bool, block_q: int, block_k: int,
+                     use_exp2: bool, p_bf16: bool):
+    """Transposed-layout forward: defeats MXU lane padding at small head
+    dims (VERDICT r4 weak #5 / next #1 — the UNet's D=40/80 heads).
+
+    The classic layout pays the 128-lane pad TWICE per k-block:
+      QK^T  [BQ, D] x [D, BK]  — contraction D pads to 128 lanes
+      PV    [BQ, BK] x [BK, D] — output D pads to 128 lanes
+    The contraction pad is unavoidable (each logit genuinely sums 40
+    products; zeros cost the same systolic cycles wherever you pack
+    them), but the PV pad is pure layout: computed TRANSPOSED,
+      S^T = K   @ Q^T : [BK, D] x [D, BQ]  -> [BK, BQ]
+      O^T = V^T @ P^T : [D, BK] x [BK, BQ] -> [D,  BQ]
+    the PV's D rides the streamed M dimension, which pads to 8 sublanes
+    instead of 128 lanes: padded PV volume drops 128/48 = 2.7x at D=40
+    (M = D+1 ones-row, rounded to 8), ~1.45x off the whole-kernel MXU
+    floor. The softmax row sum rides row D of the augmented V^T (the
+    transposed HCP_FLASH_MXU_SUM trick: l = ones-row @ P^T), and the
+    final divide broadcasts a LANE vector across sublanes — cheaper than
+    the classic layout's sublane broadcast.
+
+    No-running-max only (see NOMAX_CLAMP — the round-4 default): the
+    transposed layout would make a running max a cross-SUBLANE reduce,
+    and nomax is what the dispatcher ships anyway. Callers with
+    HCP_FLASH_NOMAX=0 stay on the classic kernels.
+
+    Layout contract: q/v arrive pre-transposed as [B, H, D, S] (the
+    wrapper swaps axes under XLA, where the relayout fuses with the
+    surrounding head split/merge transposes); the kernel emits O^T
+    [B, H, D, Sq] and the wrapper swaps back.
+    """
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_scale = scale * (1.4426950408889634 if use_exp2 else 1.0)
+    expf = jnp.exp2 if use_exp2 else jnp.exp
+    qt = qt_ref[0, 0].astype(jnp.float32) * q_scale       # [D, BQ]
+    k = k_ref[0, 0].astype(jnp.float32)                   # [BK, D]
+    st = jax.lax.dot_general(k, qt, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [BK, BQ]
+    if causal:
+        k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+        st = jnp.where(q_ids >= k_ids, st, NEG_INF)
+    pt = expf(jnp.minimum(st, NOMAX_CLAMP if use_exp2 else NOMAX_CLAMP_NAT))
+    pv_dtype = jnp.bfloat16 if p_bf16 else jnp.float32
+    if p_bf16:
+        pt = pt.astype(jnp.bfloat16)
+    vt = vt_ref[0, 0].astype(pv_dtype)                    # [D, BK]
+    # ones ROW -> O^T row D accumulates the softmax denominator l
+    v_aug = jnp.concatenate(
+        [vt, jnp.ones((1, vt.shape[1]), pv_dtype)], axis=0)  # [D+1, BK]
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        v_aug, pt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [D+1, BQ]
+
+    @pl.when(ki == num_k - 1)
+    def _finish():
+        acc = acc_ref[:]                                  # [D+1, BQ]
+        d = acc.shape[0] - 1
+        # static sublane slices (Mosaic rejects dynamic_slice lowerings
+        # traced from negative jnp indices — see _flash_kernel)
+        l = jnp.maximum(jax.lax.slice_in_dim(acc, d, d + 1, axis=0), 1e-20)
+        ot_ref[0, 0] = (jax.lax.slice_in_dim(acc, 0, d, axis=0) / l
+                        ).astype(ot_ref.dtype)
+
+
+def _flash_forward_tq(q, k, v, causal, scale, block_q, block_k):
+    """Driver for the transposed-layout kernel (see _flash_kernel_tq)."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
+    p_bf16 = os.environ.get('HCP_FLASH_P_BF16', '0') == '1'
+    qt = jnp.swapaxes(q, 2, 3)                            # [B, H, D, Sq]
+    vt = jnp.swapaxes(v, 2, 3)                            # [B, H, D, Sk]
+    kernel = functools.partial(
+        _flash_kernel_tq, num_k=Sk // block_k, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, use_exp2=use_exp2, p_bf16=p_bf16)
+    ot = pl.pallas_call(
+        kernel,
+        grid=(B, H, Sq // block_q, Sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, D, block_q), lambda b, h, i, j: (b, h, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, block_k), lambda b, h, i, j: (b, h, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, block_q),
+                               lambda b, h, i, j: (b, h, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Sq), q.dtype),
+        scratch_shapes=[pltpu.VMEM((D + 1, block_q), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel',
+                                 'arbitrary')),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sq * Sk * D,
+            bytes_accessed=(B * H * (Sq + 2 * Sk) * D * q.dtype.itemsize),
+            transcendentals=B * H * Sq * Sk),
+    )(qt, k, vt)
+    return jnp.swapaxes(ot, 2, 3)
+
+
+def _use_tq(D: int, no_max: bool) -> bool:
+    """Transposed kernel routing: wins exactly when the head dim pays a
+    lane pad the sublane pad avoids — (D+1 rounded to 8) < (D rounded to
+    128). Covers the UNet's D=40/80 and SDXL's D=64; the VAE's D=512 is
+    already lane-exact and stays on the classic kernels. nomax-only (see
+    _flash_kernel_tq)."""
+    if not no_max or os.environ.get('HCP_FLASH_TQ', '0') != '1':
+        return False
+    return -(-(D + 1) // 8) * 8 < -(-D // 128) * 128
+
+
 def _pick_block(seq: int, preferred: int) -> int:
     """Largest block <= preferred that divides seq (multiple of 128 when
     possible). ARB buckets produce non-square resolutions whose S is a
@@ -354,6 +524,11 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Sk = k.shape[2]
     block_q = _pick_block(Sq, block_q)
     block_k = _pick_block(Sk, block_k)
+    no_max = os.environ.get('HCP_FLASH_NOMAX', '1') == '1'
+    if _use_tq(D, no_max):
+        # streams k-blocks through the grid itself — any Sk fits, so it
+        # preempts the resident-vs-streaming VMEM routing below
+        return _flash_forward_tq(q, k, v, causal, scale, block_q, block_k)
     if (_resident_fwd_bytes(block_q, block_k, Sk, D, q.dtype.itemsize)
             > _SCOPED_VMEM_BUDGET):
         return _flash_forward_stream(q, k, v, causal, scale, block_q,
@@ -364,13 +539,14 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Dp = D
     use_exp2 = os.environ.get('HCP_FLASH_EXP2', '1') == '1'
     p_bf16 = os.environ.get('HCP_FLASH_P_BF16', '0') == '1'
-    no_max = os.environ.get('HCP_FLASH_NOMAX', '1') == '1'
     mxu_sum = no_max and os.environ.get('HCP_FLASH_MXU_SUM', '1') == '1'
+    unroll2 = os.environ.get('HCP_FLASH_UNROLL', '0') == '1'
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, seq_k=Sk,
                                scale=scale, causal=causal, block_q=block_q,
                                use_exp2=use_exp2, p_bf16=p_bf16,
-                               no_max=no_max, mxu_sum=mxu_sum)
+                               no_max=no_max, mxu_sum=mxu_sum,
+                               unroll2=unroll2)
     out = pl.pallas_call(
         kernel,
         grid=(B, H, Sq // block_q),
@@ -390,6 +566,10 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
+        # the 2-way unrolled body keeps two (s, p) block pairs live; lift
+        # the default 16M scoped-VMEM limit so Mosaic can place them
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if unroll2 else None),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Sq * Sk * Dp,
             bytes_accessed=(B * H * (Sq + 2 * Sk) * Dp * q.dtype.itemsize),
@@ -468,7 +648,8 @@ def _flash_forward_lse(q, k, v, causal, scale, block_q=DEFAULT_BLOCK_Q,
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          dq_ref, acc_ref, *, num_k: int, scale: float,
-                         causal: bool, block_q: int, block_k: int):
+                         causal: bool, block_q: int, block_k: int,
+                         clamp_nat: Optional[float] = None):
     """Streaming dq: grid (B, H, q-blocks, k-blocks), dq accumulated in
     scratch across the sequential k dimension. Only one K/V block is
     VMEM-resident — the earlier fori_loop version kept full K/V (plus
@@ -493,10 +674,20 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+    if clamp_nat is not None:
+        # no-max forward clamped the logits before exp (see NOMAX_CLAMP);
+        # backward must recompute p from the SAME clamped logits — with
+        # unclamped s, any logit above the clamp makes p here >> forward p
+        # and silently explodes gradients (ADVICE r4 medium). The clamp's
+        # own gradient is zero where it engages.
+        live = s <= clamp_nat
+        s = jnp.minimum(s, clamp_nat)
     p = jnp.exp(s - lse)                                 # [BQ, BK]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta) * scale
+    if clamp_nat is not None:
+        ds = jnp.where(live, ds, 0.0)
     acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -508,7 +699,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dk_ref, dv_ref, dk_acc, dv_acc, *, num_q: int,
                           scale: float, causal: bool, block_q: int,
-                          block_k: int):
+                          block_k: int, clamp_nat: Optional[float] = None):
     """Streaming dk/dv: grid (B, H, k-blocks, q-blocks), accumulators in
     scratch across the sequential q dimension."""
     ki = pl.program_id(2)
@@ -531,12 +722,18 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q_ids = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+    if clamp_nat is not None:
+        # match the no-max forward's logit clamp (see _flash_bwd_dq_kernel)
+        live = s <= clamp_nat
+        s = jnp.minimum(s, clamp_nat)
     p = jnp.exp(s - lse)                                 # [BQ, BK]
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta) * scale
+    if clamp_nat is not None:
+        ds = jnp.where(live, ds, 0.0)
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -562,6 +759,14 @@ def _flash_backward(q, k, v, o, lse, g, causal, scale,
     Sk = k.shape[2]
     block_q = _pick_block(Sq, block_q)
     block_k = _pick_block(Sk, block_k)
+    # forward/backward must agree on the no-max logit clamp (natural units;
+    # the exp2 forward clamps at NOMAX_CLAMP log2 = NOMAX_CLAMP*ln2 natural)
+    if os.environ.get('HCP_FLASH_NOMAX', '1') == '1':
+        clamp_nat = (NOMAX_CLAMP * LN2
+                     if os.environ.get('HCP_FLASH_EXP2', '1') == '1'
+                     else NOMAX_CLAMP_NAT)
+    else:
+        clamp_nat = None
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
                     keepdims=True)                       # [B,H,Sq,1]
 
@@ -583,7 +788,7 @@ def _flash_backward(q, k, v, o, lse, g, causal, scale,
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, num_k=Sk // block_k,
                           scale=scale, causal=causal, block_q=block_q,
-                          block_k=block_k),
+                          block_k=block_k, clamp_nat=clamp_nat),
         grid=(B, H, Sq // block_q, Sk // block_k),
         in_specs=[q_by_qi, k_by_ki, k_by_ki, q_by_qi, q1_by_qi, q1_by_qi],
         out_specs=q_by_qi,
@@ -594,7 +799,7 @@ def _flash_backward(q, k, v, o, lse, g, causal, scale,
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, num_q=Sq // block_q,
                           scale=scale, causal=causal, block_q=block_q,
-                          block_k=block_k),
+                          block_k=block_k, clamp_nat=clamp_nat),
         grid=(B, H, Sk // block_k, Sq // block_q),
         in_specs=[q_by_qi2, k_by_ki2, k_by_ki2, q_by_qi2, q1_by_qi2,
                   q1_by_qi2],

@@ -37,8 +37,6 @@ def hcp_to_webui(unet_path: Optional[str], te_path: Optional[str],
         ck = auto_manager(te_path).load_ckpt(te_path)
         overlay = ck.get('lora', {})
         tcfg = CLIPTextConfig.sd15()
-        amap = {k: v.replace('text_model.encoder.layers', 'text_model_encoder_layers')
-                for k, v in clip_alias_map(tcfg).items()}
         prefix = 'lora_te1' if sdxl else 'lora_te'
         out.update(overlay_to_kohya(overlay, clip_alias_map(tcfg), prefix))
     save_safetensors(out, dump_path)

@@ -59,6 +59,12 @@ def main():
     workdir = sys.argv[1]
     os.environ['JAX_PLATFORMS'] = 'cpu'
     os.environ.pop('XLA_FLAGS', None)
+    # The env var alone is NOT enough here: this environment's sitecustomize
+    # re-pins jax to the axon TPU platform, and phase 1 then hangs waiting on
+    # the (single, possibly busy) real chip. Pin via jax.config BEFORE any
+    # backend init, exactly as tests/multihost_worker.py does.
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
 
     # dataset fixture
     import numpy as np

@@ -288,8 +288,11 @@ def test_flash_nomax_matches_reference(monkeypatch):
 
 
 def test_flash_nomax_large_scores(monkeypatch):
-    """Scores ~20x the usual magnitude (|s| up to ~60 natural units)
-    stay inside the clamp margin and match the reference exactly."""
+    """Scores ~20x the usual magnitude (|s| up to ~60 natural units).
+    The clamp sits at ~55.4 natural units (NOMAX_CLAMP=80 log2), so the
+    extreme tail here DOES engage it — rows whose max score exceeds the
+    clamp are softmax-saturated one-hot, where clamping is exact anyway;
+    bitwise exactness only holds for rows entirely below the clamp."""
     monkeypatch.setenv('HCP_FLASH_NOMAX', '1')
     rng = jax.random.PRNGKey(7)
     r1, r2, r3 = jax.random.split(rng, 3)
