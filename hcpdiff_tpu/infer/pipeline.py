@@ -265,38 +265,20 @@ class DiffusionPipeline:
         ctx, _ = self.encode_prompts(prompts, negs, emb_ext)
 
         t_start = max(num_steps - int(num_steps * strength), 0)
-        probe = make_sampler(sampler, self.schedule, num_steps,
-                             **(sampler_kwargs or {}))
-        if probe.num_steps != num_steps:
-            # eval-plan samplers (heun/dpm2/dpm2_a/dpm++_2s_a, pndm with
-            # prk_warmup) stagger >1 model eval per sigma transfer; slicing
-            # their timestep plan at t_start would enter mid-transfer and
-            # silently mis-integrate. The reference accepts any scheduler for
-            # I2I (utils/pipe_hook.py:173) — we fail loudly instead of wrong.
-            raise ValueError(
-                f'img2img/inpaint: sampler {sampler!r} uses a staggered '
-                f'multi-eval plan and cannot be sliced for a partial loop; '
-                f"use a single-eval sampler (e.g. 'dpm++_2m', 'euler', "
-                f"'euler_a', 'unipc', 'ddim').")
-        loop = self._loop(sampler, num_steps)
-        sub = loop.sampler.timesteps[t_start]
+        # partial loop: slice the (possibly staggered multi-eval) plan at a
+        # transfer boundary — the scheduler-agnostic get_timesteps slicing
+        # of reference utils/pipe_hook.py:173; heun/dpm2/dpm2_a/dpm++_2s_a/
+        # dpm++_sde slice at a stage-0 plan index (samplers.py
+        # TwoStageKSampler.slice_for_partial). Only pndm(prk_warmup=True)
+        # still refuses (mid-RK entry is ill-defined).
+        sampler_obj = make_sampler(sampler, self.schedule, num_steps,
+                                   **(sampler_kwargs or {}))
+        sub = sampler_obj.slice_for_partial(t_start)
         rng = jax.random.PRNGKey(seed)
         rng, r_n, r_loop = jax.random.split(rng, 3)
         noise = jax.random.normal(r_n, init_latents.shape)
         noised = self.schedule.add_noise(init_latents, noise,
                                          jnp.full((B,), sub, jnp.int32))
-
-        # partial loop: rebuild a sampler over the remaining steps
-        remaining = num_steps - t_start
-        sampler_obj = make_sampler(sampler, self.schedule, num_steps,
-                                   **(sampler_kwargs or {}))
-        sampler_obj.timesteps = sampler_obj.timesteps[t_start:]
-        sampler_obj.num_steps = remaining
-        if hasattr(sampler_obj, 'sigmas'):
-            sampler_obj.sigmas = sampler_obj.sigmas[t_start:]
-            # init scaling must map VP->k at the NEW start sigma
-            sampler_obj._init_noise_sigma = float(
-                np.sqrt(float(sampler_obj.sigmas[0]) ** 2 + 1))
         part_loop = DenoiseLoop(self.unet_apply, sampler_obj)
         # DenoiseLoop multiplies by init_noise_sigma, which is exactly the
         # VP->k-space change of variables (1/sqrt(acp) for k-samplers, 1 for
