@@ -745,9 +745,25 @@ class DPMppSDESampler(TwoStageKSampler):
     ``sample_dpmpp_sde`` with r=1/2; reference reaches it as a diffusers
     scheduler ``_target_``, visualizer.py:99-110).
 
-    Per transfer sigma_k -> sigma_{k+1} (eta=1 default, independent noise
-    draws per stage — k-diffusion's default_noise_sampler; we do not model
-    the optional Brownian-tree correlation):
+    Noise correlation (``brownian=True``, the default — matching the
+    reference path's BrownianTreeNoiseSampler): both stage noises of a
+    transfer are increments of ONE Brownian path W(sigma). Stage 0 spans
+    [s_mid, s_k], stage 1 spans [s_next, s_k]; with dt0 = s_k - s_mid and
+    dt1 = s_mid - s_next the normalized stage-1 increment decomposes as
+
+        z_s1 = (sqrt(dt0)*z0 + sqrt(dt1)*z1) / sqrt(dt0 + dt1)
+
+    where z0 is the SAME unit normal stage 0 injected (carried in the
+    sampler state) and z1 is fresh. Because the step plan is fixed at
+    construction, this closed form is exactly what torchsde's interval
+    tree would return — no tree needed; increments of different transfers
+    cover disjoint sigma intervals and stay independent, as a Brownian
+    path requires. ``brownian=False`` restores independent draws per
+    stage (k-diffusion's default_noise_sampler). The 2M-SDE multistep
+    sampler draws once per disjoint transfer, so independent draws there
+    already ARE the Brownian increments.
+
+    Per transfer sigma_k -> sigma_{k+1} (eta=1 default):
 
     - stage 0 (eval at sigma_k): ancestral half-step to the log-space
       midpoint s_mid = sqrt(s_k*s_{k+1}):
@@ -761,11 +777,22 @@ class DPMppSDESampler(TwoStageKSampler):
     With eta=0 this is the deterministic singlestep DPM-Solver++(2S)
     midpoint method (diffusers DPMSolverSinglestepScheduler order 2)."""
 
-    def __init__(self, schedule, num_steps, eta: float = 1.0, **kw):
+    def __init__(self, schedule, num_steps, eta: float = 1.0,
+                 brownian: bool = True, **kw):
         self.eta = float(eta)
+        self.brownian = bool(brownian)
         super().__init__(schedule, num_steps, **kw)
         self._sd1 = jnp.asarray(self._sd1_np, jnp.float32)
         self._su1 = jnp.asarray(self._su1_np, jnp.float32)
+        # Brownian-bridge weights per transfer: stage-1 noise spans
+        # [s_next, s_from] = [s_next, s_mid] + [s_mid, s_from] (see class
+        # docstring). Final transfer is noise-free (su2 == 0) — weights
+        # there are arbitrary.
+        dt0 = np.maximum(self._dt0_np, 0.0)
+        dt1 = np.maximum(self._dt1_np, 0.0)
+        tot = np.where(dt0 + dt1 > 0, dt0 + dt1, 1.0)
+        self._bw0 = jnp.asarray(np.sqrt(dt0 / tot), jnp.float32)
+        self._bw1 = jnp.asarray(np.sqrt(dt1 / tot), jnp.float32)
 
     def _ancestral(self, a, b):
         with np.errstate(divide='ignore', invalid='ignore'):
@@ -789,10 +816,16 @@ class DPMppSDESampler(TwoStageKSampler):
         sd1 = np.where(s_next <= 0, s_from, sd1)
         su1 = np.where(s_next <= 0, 0.0, su1)
         self._sd1_np, self._su1_np = sd1, su1
+        self._dt0_np = s_from - s_mid          # stage-0 Brownian interval
+        self._dt1_np = s_mid - s_next          # remainder of the transfer
         return s_from, sd2, s_mid, su2
 
+    def init_state(self, shape):
+        z = jnp.zeros(shape, jnp.float32)
+        return (z, z, z)                      # (x_base, d1, z0)
+
     def step(self, state, model_out, i, x, rng=None):
-        x_base, d1 = state
+        x_base, d1, z0_prev = state
         s_eval = self.sigmas[i]
         stage = self._plan_stage[i]
         k = self._pair[i]
@@ -809,16 +842,24 @@ class DPMppSDESampler(TwoStageKSampler):
         # stage 1: x0 here IS x0_mid (eval at s_mid); x' anchors on it
         ratio = sd2 / jnp.maximum(s_from, 1e-12)
         x_s1 = x0 + ratio * (x_base - x0)
+        z0 = z0_prev
         if rng is not None:
             r0, r1 = jax.random.split(rng)
-            x_pred = x_pred + jax.random.normal(r0, x.shape) \
-                * _bshape(su1[None], x.ndim)
-            x_s1 = x_s1 + jax.random.normal(r1, x.shape) \
-                * _bshape(su2[None], x.ndim)
+            z0 = jax.random.normal(r0, x.shape)
+            z1 = jax.random.normal(r1, x.shape)
+            if self.brownian:
+                # same Brownian path as stage 0: reuse ITS z0 (carried in
+                # state — at a stage-1 entry z0_prev holds it)
+                z_s1 = self._bw0[k] * z0_prev + self._bw1[k] * z1
+            else:
+                z_s1 = z1
+            x_pred = x_pred + z0 * _bshape(su1[None], x.ndim)
+            x_s1 = x_s1 + z_s1 * _bshape(su2[None], x.ndim)
         x_s0 = jnp.where(is_final, x_final, x_pred)
         x_next = jnp.where(stage == 0, x_s0, x_s1)
         new_state = (jnp.where(stage == 0, x, x_base),
-                     jnp.where(stage == 0, d, d1))
+                     jnp.where(stage == 0, d, d1),
+                     jnp.where(stage == 0, z0, z0_prev))
         return x_next, new_state, x0
 
 

@@ -111,11 +111,13 @@ def pipe():
 
 
 @pytest.mark.parametrize('name', ['heun', 'dpm2', 'dpm2_a', 'dpm++_2s_a'])
-def test_img2img_two_eval_sampler_raises(pipe, name):
+def test_img2img_two_eval_sampler_works(pipe, name):
+    # round 5 replaced the round-4 guard (raise) with stage-0-boundary plan
+    # slicing — see slice_for_partial + tests/test_partial_loop.py parity
     init = jnp.zeros((1, 4, 4, 4))
-    with pytest.raises(ValueError, match='multi-eval plan'):
-        pipe.img2img(init, 'a painting', strength=0.5, num_steps=6,
-                     sampler=name, seed=0)
+    img = pipe.img2img(init, 'a painting', strength=0.5, num_steps=6,
+                       sampler=name, seed=0)
+    assert np.isfinite(img).all()
 
 
 def test_img2img_single_eval_still_works(pipe):
@@ -125,12 +127,12 @@ def test_img2img_single_eval_still_works(pipe):
     assert np.isfinite(img).all()
 
 
-def test_inpaint_legacy_two_eval_raises(pipe):
+def test_inpaint_legacy_two_eval_works(pipe):
     init = jnp.zeros((1, 4, 4, 4))
     mask = jnp.ones((1, 4, 4, 1))
-    with pytest.raises(ValueError, match='multi-eval plan'):
-        pipe.inpaint(init, mask, 'cat', strength=0.5, num_steps=6,
-                     sampler='heun')
+    img = pipe.inpaint(init, mask, 'cat', strength=0.5, num_steps=6,
+                       sampler='heun')
+    assert np.isfinite(img).all()
 
 
 # ------------------------------------------- biased-LoRA host rebuild -------

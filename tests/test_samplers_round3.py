@@ -207,6 +207,62 @@ def test_visualizer_singlestep_maps_to_eta0():
     assert Visualizer._SCHED_MAP['dpmsolversinglestep'] == 'dpm++_sde'
 
 
+def test_dpmpp_sde_brownian_weights_unit_variance():
+    """The Brownian-bridge combination must keep the stage-1 noise a UNIT
+    normal: bw0^2 + bw1^2 == 1 on every noisy transfer (the final transfer
+    is noise-free; its weights are arbitrary)."""
+    sched = NoiseSchedule.make()
+    s = make_sampler('dpm++_sde', sched, 8, eta=1.0)
+    bw0, bw1 = np.asarray(s._bw0), np.asarray(s._bw1)
+    su2 = np.asarray(s._s_up)
+    noisy = su2 > 0
+    assert noisy.any()
+    np.testing.assert_allclose((bw0 ** 2 + bw1 ** 2)[noisy], 1.0, rtol=1e-6)
+    # both stages genuinely contribute on interior transfers
+    assert (bw0[noisy] > 0).all() and (bw1[noisy] > 0).all()
+
+
+def test_dpmpp_sde_brownian_stage1_reuses_stage0_draw():
+    """Brownian mode (default): the stage-1 noise of transfer k is the
+    normalized Brownian increment over [s_next, s_k] = bridge of stage 0's
+    OWN draw z0 (carried through the scan state) with a fresh z1. Verified
+    against an independent-draws run: the two stage-1 outputs must differ
+    by exactly su2 * ((bw0*z0 + bw1*z1) - z1)."""
+    sched = NoiseSchedule.make()
+    shape = (2, 8, 8, 4)
+    s_br = make_sampler('dpm++_sde', sched, 6, eta=1.0)
+    s_ind = make_sampler('dpm++_sde', sched, 6, eta=1.0, brownian=False)
+    assert s_br.brownian and not s_ind.brownian
+
+    x = jax.random.normal(jax.random.PRNGKey(0), shape) * s_br.sigmas[0]
+    eps = jnp.zeros(shape)
+    rng0, rng1 = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+
+    # stage 0 (plan index 0) — identical in both modes, stores z0 in state
+    st = s_br.init_state(shape)
+    x1_br, st_br, _ = s_br.step(st, eps, jnp.asarray(0), x, rng0)
+    x1_ind, st_ind, _ = s_ind.step(st, eps, jnp.asarray(0), x, rng0)
+    np.testing.assert_allclose(np.asarray(x1_br), np.asarray(x1_ind))
+    r0a, _ = jax.random.split(rng0)
+    z0 = jax.random.normal(r0a, shape)
+    np.testing.assert_allclose(np.asarray(st_br[2]), np.asarray(z0))
+
+    # stage 1 (plan index 1) from the same carried state
+    x2_br, st2_br, _ = s_br.step(st_br, eps, jnp.asarray(1), x1_br, rng1)
+    x2_ind, _, _ = s_ind.step(st_ind, eps, jnp.asarray(1), x1_ind, rng1)
+    _, r1b = jax.random.split(rng1)
+    z1 = jax.random.normal(r1b, shape)
+    su2 = float(s_br._s_up[0])
+    assert su2 > 0
+    expected_delta = su2 * ((float(s_br._bw0[0]) * z0
+                             + float(s_br._bw1[0]) * z1) - z1)
+    np.testing.assert_allclose(np.asarray(x2_br - x2_ind),
+                               np.asarray(expected_delta),
+                               rtol=1e-5, atol=1e-6)
+    # the carried z0 survives the stage-1 step unchanged
+    np.testing.assert_allclose(np.asarray(st2_br[2]), np.asarray(z0))
+
+
 def test_lms_coefficients_sum_to_dt():
     """LMS Lagrange-basis integrals must sum to sigma_{i+1} - sigma_i
     (partition of unity) — catches integration bugs."""
