@@ -210,15 +210,21 @@ def build_models(pretrained: Optional[str] = None,
                           - unet_cfg.addition_time_embed_dim * 6)
             kw = dict(pooled_text_emb=jnp.zeros((1, pooled_dim)),
                       time_ids=jnp.zeros((1, 6)))
-        unet_params = unet.init(r1, jnp.zeros((1, 8, 8, unet_cfg.in_channels)),
-                                jnp.array([0]), dummy_ctx, **kw)['params']
-        vae_params = vae.init(r2, jnp.zeros((1, 32, 32, 3)),
-                              jax.random.PRNGKey(0))['params']
-        te_params = te.init(r3, jnp.zeros((1, 77), jnp.int32))['params']
+        # jitted init off-CPU: eager flax init dispatches thousands of tiny
+        # ops, which over the axon TPU tunnel costs ~10 min for a full-size
+        # UNet; one compiled (persistent-cached) program takes seconds. On
+        # CPU (tests, tiny worlds) eager avoids per-config compile overhead.
+        jinit = jax.jit if jax.default_backend() != 'cpu' else (lambda f: f)
+        unet_params = jinit(unet.init)(
+            r1, jnp.zeros((1, 8, 8, unet_cfg.in_channels)),
+            jnp.array([0]), dummy_ctx, **kw)['params']
+        vae_params = jinit(vae.init)(r2, jnp.zeros((1, 32, 32, 3)),
+                                     jax.random.PRNGKey(0))['params']
+        te_params = jinit(te.init)(r3, jnp.zeros((1, 77), jnp.int32))['params']
         if te2_cfg is not None:
             te2 = CLIPTextModel(te2_cfg, dtype=jnp.float32)
-            te2_params = te2.init(jax.random.PRNGKey(seed + 11),
-                                  jnp.zeros((1, 77), jnp.int32))['params']
+            te2_params = jinit(te2.init)(jax.random.PRNGKey(seed + 11),
+                                         jnp.zeros((1, 77), jnp.int32))['params']
             out.update(te2=te2, te2_params=te2_params, te2_cfg=te2_cfg)
         tokenizer = out.pop('_tiny_tokenizer', None)
         if tokenizer is None:

@@ -389,3 +389,149 @@ def test_flash_nomax_mxu_sum_stream(monkeypatch):
     lse_ref = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
                                atol=2e-5)
+
+
+# ------------------------- transposed-layout (TQ) kernel, round 5 ----------
+# Default ON: the dispatcher routes small-head-dim nomax forwards through
+# _flash_kernel_tq (S^T = K@Q^T, O^T = V_aug^T@P^T), which pays an
+# 8-sublane pad on the PV output instead of the 128-lane pad. Both paths
+# are tested explicitly so flipping the default cannot silently drop
+# coverage of the classic kernels.
+
+@pytest.mark.parametrize('tq', ['0', '1'])
+@pytest.mark.parametrize('D,causal', [(40, False), (40, True), (64, False),
+                                      (80, True)])
+def test_flash_tq_parity_small_heads(monkeypatch, tq, D, causal):
+    monkeypatch.setenv('HCP_FLASH_TQ', tq)
+    out, ref = _run(Sq=256, Sk=256, D=D, causal=causal)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize('tq', ['0', '1'])
+def test_flash_tq_multiblock(monkeypatch, tq):
+    monkeypatch.setenv('HCP_FLASH_TQ', tq)
+    out, ref = _run(Sq=512, Sk=512, D=40)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # ARB bucket shape: S divisible by 128 but not by the preferred block
+    out, ref = _run(Sq=1152, Sk=1152, D=32)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_tq_bf16(monkeypatch):
+    monkeypatch.setenv('HCP_FLASH_TQ', '1')
+    out, ref = _run(Sq=256, Sk=256, D=40, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(out.astype(np.float32),
+                               ref.astype(np.float32), atol=2e-2)
+
+
+def test_flash_tq_routing_predicate():
+    from hcpdiff_tpu.ops.flash_attention import _use_tq
+    # wins exactly when sublane pad beats lane pad
+    assert _use_tq(40, True)        # 48 < 128 (SD1.5 level-0 heads)
+    assert _use_tq(64, True)        # 72 < 128 (SDXL heads)
+    assert _use_tq(80, True)        # 88 < 128
+    assert _use_tq(160, True)       # 168 < 256
+    assert not _use_tq(120, True)   # 128 == 128 — no pad to save
+    assert not _use_tq(128, True)   # 136 > 128
+    assert not _use_tq(512, True)   # lane-exact (VAE) stays classic
+    assert not _use_tq(40, False)   # nomax-only layout
+    import os
+    os.environ['HCP_FLASH_TQ'] = '0'
+    try:
+        assert not _use_tq(40, True)  # escape hatch
+    finally:
+        del os.environ['HCP_FLASH_TQ']
+
+
+def test_flash_tq_large_scores(monkeypatch):
+    """The TQ kernel shares the nomax clamp semantics — saturated rows
+    above the clamp must still match the reference."""
+    monkeypatch.setenv('HCP_FLASH_TQ', '1')
+    rng = jax.random.PRNGKey(7)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    D = 40
+    q = jax.random.normal(r1, (1, 2, 256, D)) * 12.0
+    k = jax.random.normal(r2, (1, 2, 256, D))
+    v = jax.random.normal(r3, (1, 2, 256, D))
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    ref = _xla_reference(q, k, v, False, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+@pytest.mark.parametrize('causal', [False, True])
+def test_flash_tq_train_grads(monkeypatch, causal):
+    """TQ training path (HCP_FLASH_TQ_TRAIN, default on): the lse-emitting
+    transposed forward + transposed dq/dk/dv backward must reproduce the
+    XLA reference gradients."""
+    monkeypatch.setenv('HCP_FLASH_TQ', '1')
+    monkeypatch.setenv('HCP_FLASH_TQ_TRAIN', '1')
+    from hcpdiff_tpu.ops.flash_attention import _make_flash
+    _make_flash.cache_clear()
+    try:
+        D = 40
+        q = jax.random.normal(jax.random.PRNGKey(31), (1, 2, 512, D))
+        k = jax.random.normal(jax.random.PRNGKey(32), (1, 2, 512, D))
+        v = jax.random.normal(jax.random.PRNGKey(33), (1, 2, 512, D))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal=causal) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_xla_reference(q, k, v, causal, D ** -0.5) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, 'qkv'):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, err_msg=f'd{name}')
+    finally:
+        _make_flash.cache_clear()
+
+
+def test_flash_tq_lse_forward(monkeypatch):
+    """TQ lse forward: output AND lse parity (the backward consumes lse,
+    so a wrong lse silently corrupts every gradient)."""
+    from hcpdiff_tpu.ops.flash_attention import _flash_forward_tq
+    rng = jax.random.PRNGKey(41)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    D, S = 40, 512
+    q = jax.random.normal(r1, (1, 2, S, D))
+    k = jax.random.normal(r2, (1, 2, S, D))
+    v = jax.random.normal(r3, (1, 2, S, D))
+    scale = D ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_forward_tq(q, k, v, False, scale, 256, 256,
+                                     emit_lse=True)
+    ref = _xla_reference(q, k, v, False, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) * scale
+    lse_ref = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                               atol=2e-5)
+
+
+def test_flash_tq_train_grads_clamped(monkeypatch):
+    """Forward/backward clamp agreement on the TQ path: logits above the
+    nomax clamp must not explode gradients (ADVICE r4 medium, extended to
+    the transposed kernels)."""
+    monkeypatch.setenv('HCP_FLASH_TQ_TRAIN', '1')
+    from hcpdiff_tpu.ops.flash_attention import _make_flash
+    _make_flash.cache_clear()
+    try:
+        D = 40
+        q = jax.random.normal(jax.random.PRNGKey(51), (1, 2, 256, D)) * 14.0
+        k = jax.random.normal(jax.random.PRNGKey(52), (1, 2, 256, D))
+        v = jax.random.normal(jax.random.PRNGKey(53), (1, 2, 256, D))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        for a, name in zip(gf, 'qkv'):
+            assert np.isfinite(np.asarray(a)).all(), f'd{name} not finite'
+            assert float(jnp.abs(a).max()) < 1e4, f'd{name} exploded'
+    finally:
+        _make_flash.cache_clear()
