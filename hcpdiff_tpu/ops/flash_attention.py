@@ -887,10 +887,12 @@ def _flash_bwd_dkv_kernel_tq(qt_ref, k_ref, v_ref, dot_ref, lse_ref,
 def _tq_train() -> bool:
     """Transposed-layout TRAINING path (lse forward + dq/dk/dv backward)
     gate — separate from the inference-forward default so each is A/B-able
-    alone. Opt-in until the on-chip bench_train A/B lands (the rule since
-    the Mosaic select_n lesson: interpret-mode parity is not lowering
-    validation)."""
-    return os.environ.get('HCP_FLASH_TQ_TRAIN', '0') == '1'
+    alone. Default ON since round 5: on-chip bench_train A/B measured
+    37.36 vs 32.02 samples/s (+16.7%; kernel-level bwd micro 1.28x at
+    S=4096 D=40, neutral at S=1024 D=80 — under remat the transposed
+    forward also pays off twice). HCP_FLASH_TQ_TRAIN=0 is the escape
+    hatch."""
+    return os.environ.get('HCP_FLASH_TQ_TRAIN', '1') != '0'
 
 
 def _flash_backward_tq(q, k, v, o, lse, g, causal, scale,

@@ -459,13 +459,16 @@ def test_flash_tq_large_scores(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.parametrize('tq_train', ['0', '1'])
 @pytest.mark.parametrize('causal', [False, True])
-def test_flash_tq_train_grads(monkeypatch, causal):
-    """TQ training path (HCP_FLASH_TQ_TRAIN, default on): the lse-emitting
-    transposed forward + transposed dq/dk/dv backward must reproduce the
-    XLA reference gradients."""
+def test_flash_tq_train_grads(monkeypatch, causal, tq_train):
+    """Training-path gradient parity for BOTH dispatches: the classic
+    lse-forward/backward (HCP_FLASH_TQ_TRAIN=0) and the transposed path
+    (=1, the round-5 default) must reproduce the XLA reference
+    gradients — explicit parametrization so the default flip cannot
+    silently drop classic coverage."""
     monkeypatch.setenv('HCP_FLASH_TQ', '1')
-    monkeypatch.setenv('HCP_FLASH_TQ_TRAIN', '1')
+    monkeypatch.setenv('HCP_FLASH_TQ_TRAIN', tq_train)
     from hcpdiff_tpu.ops.flash_attention import _make_flash
     _make_flash.cache_clear()
     try:
