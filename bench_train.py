@@ -105,6 +105,17 @@ def main():
     frozen = {'unet': unet_params, 'te': te_params}
     if sdxl:
         frozen['te2'] = te2_params
+    if os.environ.get('HCP_FROZEN_BF16', '1' if sdxl else '0') == '1':
+        # LoRA training never updates the base, and the compute dtype is
+        # bf16 anyway (flax casts fp32 params at use), so bf16 frozen
+        # storage halves the dominant HBM term — required to fit SDXL-1024
+        # on one 16G v5e chip (fp32 base alone is 10.3G). donate_argnums
+        # frees each fp32 buffer as its convert completes (bench.py does
+        # the same for SDXL inference). Mirrors the Trainer's
+        # model.frozen_base_dtype: bf16 config option.
+        frozen = jax.jit(lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t), donate_argnums=0)(frozen)
 
     rng = np.random.default_rng(0)
     batch = {'latents': jnp.asarray(rng.normal(size=(B, lat, lat, 4)),

@@ -223,6 +223,16 @@ def _pallas_ff() -> bool:
                               and _pallas_backend())
 
 
+def _int8() -> bool:
+    """Dynamic w8a8 int8 MXU routing for the transformer projections/FF
+    (ops/int8.py) — inference experiment raising the ceiling above the
+    bf16 roofline (v5e int8 peak is 2x bf16). Opt-in HCP_INT8=1; takes
+    precedence over the Pallas bf16 GEMM routing for the layers it
+    covers (qkv, to_out, ff proj/out, proj_in/out). The LN-fused path
+    (HCP_PALLAS_LN) keeps the qkv projections in bf16 if both are set."""
+    return os.environ.get('HCP_INT8', '0') == '1'
+
+
 def _pallas_ln() -> bool:
     """LayerNorm-fused projection kernels (ln+qkv, ln+q, ln+geglu): the
     sublayer LN runs in the GEMM prologue, so neither the normalized
@@ -255,6 +265,10 @@ def _proj_dense(x, features, dtype, name, res=None):
     inside the Pallas epilogue when routed (a separate add over the opaque
     pallas_call boundary costs a full HBM round-trip), as a plain XLA add
     otherwise (where the compiler fuses it into the producer)."""
+    if _int8():
+        from ..ops.int8 import int8_dense
+        k, b = _DenseParams(features, name=name)(x.shape[-1])
+        return int8_dense(x.astype(dtype), k, b, res=res)
     if _pallas_proj():
         from ..ops.matmul import fused_dense
         k, b = _DenseParams(features, name=name)(x.shape[-1])
@@ -318,6 +332,16 @@ class CrossAttention(nn.Module):
                 q = x.astype(self.dtype) @ wq.astype(self.dtype)
                 wkv = jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
                 k, v = jnp.split(ctx.astype(self.dtype) @ wkv, 2, axis=-1)
+        elif _int8() and not self.qkv_bias:
+            from ..ops.int8 import int8_dense
+            wq = _DenseKernel(self.query_dim, name='to_q')(x.shape[-1])
+            wk = _DenseKernel(self.query_dim, name='to_k')(ctx.shape[-1])
+            wv = _DenseKernel(self.query_dim, name='to_v')(ctx.shape[-1])
+            xb = x.astype(self.dtype)
+            cb = ctx.astype(self.dtype)
+            q = int8_dense(xb, wq)
+            k = int8_dense(cb, wk)
+            v = int8_dense(cb, wv)
         else:
             ub = self.qkv_bias
             q = _dense(self.query_dim, self.dtype, 'to_q', use_bias=ub)(x)
@@ -352,6 +376,16 @@ class GEGLUFeedForward(nn.Module):
             ko, bo = _DenseParams(self.dim, name='out')(h.shape[-1])
             return fused_dense(h, ko.astype(self.dtype),
                                bo.astype(self.dtype), res=res)
+        if _int8():
+            # int8 GEMMs; the geglu gate runs as a plain XLA elementwise
+            # epilogue on the dequantized halves (fused into the dequant).
+            from ..ops.int8 import int8_dense
+            k, b = _DenseParams(inner * 2, name='proj')(x.shape[-1])
+            h = int8_dense(x.astype(self.dtype), k, b)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * jax.nn.gelu(gate, approximate=False)
+            ko, bo = _DenseParams(self.dim, name='out')(h.shape[-1])
+            return int8_dense(h, ko, bo, res=res)
         if _pallas_ff() or os.environ.get('HCP_PALLAS_GEGLU', '0') == '1':
             # Both halves through pallas: geglu's h*gelu(gate) fused into the
             # GEMM epilogue (the [.., 2*inner] intermediate never reaches
@@ -435,7 +469,11 @@ class Transformer2D(nn.Module):
         B, H, W, C = x.shape
         residual = x
         h = GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name='norm')(x)
-        if _pallas_proj():
+        if _int8():
+            from ..ops.int8 import int8_dense
+            k, b = _DenseParams(self.channels, name='proj_in')(C)
+            h = int8_dense(h.astype(self.dtype), k, b).reshape(B, H * W, C)
+        elif _pallas_proj():
             h = _proj_dense(h.reshape(B, H * W, C), self.channels,
                             self.dtype, 'proj_in')
         elif os.environ.get('HCP_TFM_4D', '1') == '1':
@@ -450,6 +488,12 @@ class Transformer2D(nn.Module):
             h = BasicTransformerBlock(self.channels, self.heads, self.context_dim,
                                       dtype=self.dtype, qkv_bias=self.qkv_bias,
                                       name=f'transformer_blocks_{i}')(h, context, context_bias)
+        if _int8():
+            from ..ops.int8 import int8_dense
+            k, b = _DenseParams(self.channels, name='proj_out')(self.channels)
+            h = int8_dense(h.astype(self.dtype), k, b,
+                           res=residual.reshape(B, H * W, C))
+            return h.reshape(B, H, W, C)
         if _pallas_proj():
             # NHWC->[B,HW,C] reshape is a free contiguous merge, so the
             # spatial residual can ride the proj_out epilogue too

@@ -193,3 +193,63 @@ def test_vae_d512_routes_to_flash_by_default(monkeypatch):
     monkeypatch.setenv('HCP_FLASH_VAE', '0')
     attn_mod.attention(q, q, q)
     assert not called, 'HCP_FLASH_VAE=0 must restore the XLA route'
+
+
+def test_frozen_base_dtype_bf16(tmp_path):
+    """model.frozen_base_dtype: bf16 stores the frozen base in bf16 (the
+    SDXL-1024 single-chip memory fix) while trainable masters stay fp32;
+    training still converges to finite losses."""
+    import json
+
+    from PIL import Image
+
+    from hcpdiff_tpu.config import containerize
+    from hcpdiff_tpu.trainer.trainer import Trainer
+
+    imgs = tmp_path / 'imgs'
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    caps = {}
+    for i in range(2):
+        arr = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(imgs / f'img_{i}.png')
+        caps[f'img_{i}'] = f'a photo of cat {i}'
+    with open(imgs / 'captions.json', 'w') as f:
+        json.dump(caps, f)
+
+    cfg = containerize({
+        'exp_dir': str(tmp_path / 'exp'),
+        'mixed_precision': 'bf16',
+        'seed': 1,
+        'ckpt_type': 'safetensors',
+        'train': {
+            'train_steps': 2, 'save_step': 2,
+            'gradient_accumulation_steps': 1, 'max_grad_norm': 1.0,
+            'cfg_scale': '1.0',
+            'loss': {'criterion': {'_target_': 'mse'}},
+            'optimizer': {'_target_': 'optim.adamw', 'weight_decay': 1e-3},
+            'scheduler': {'name': 'constant', 'num_warmup_steps': 0,
+                          'num_training_steps': 2},
+        },
+        'model': {'pretrained_model_name_or_path': 'tiny',
+                  'tokenizer_repeats': 1, 'gradient_checkpointing': False,
+                  'frozen_base_dtype': 'bf16'},
+        'logger': [],
+        'data': {'dataset1': {
+            'batch_size': 2, 'cache_latents': True,
+            'source': {'s1': {'img_root': str(imgs),
+                              'caption_file': str(imgs / 'captions.json')}},
+            'bucket': {'_target_': 'FixedBucket', 'target_size': 32},
+        }},
+        'tokenizer_pt': {'emb_dir': None, 'train': None},
+        'lora_unet': [{'lr': 1e-3, 'rank': 2,
+                       'layers': ['re:.*attn1\\.to_q$']}],
+    })
+    t = Trainer(cfg)
+    frozen_dtypes = {x.dtype for x in jax.tree_util.tree_leaves(t.frozen)}
+    assert jnp.dtype(jnp.bfloat16) in frozen_dtypes
+    assert jnp.dtype(jnp.float32) not in frozen_dtypes
+    # trainable LoRA masters stay fp32
+    pack_dtypes = {x.dtype for x in jax.tree_util.tree_leaves(t.pack)}
+    assert pack_dtypes == {jnp.dtype(jnp.float32)}
+    assert t.train() == 2
