@@ -109,13 +109,12 @@ def main():
         # LoRA training never updates the base, and the compute dtype is
         # bf16 anyway (flax casts fp32 params at use), so bf16 frozen
         # storage halves the dominant HBM term — required to fit SDXL-1024
-        # on one 16G v5e chip (fp32 base alone is 10.3G). donate_argnums
-        # frees each fp32 buffer as its convert completes (bench.py does
-        # the same for SDXL inference). Mirrors the Trainer's
+        # on one 16G v5e chip (fp32 base alone is 10.3G). Grouped donated
+        # casts keep the peak bounded (utils/casting.py explains why a
+        # whole-tree donated cast still OOMs). Mirrors the Trainer's
         # model.frozen_base_dtype: bf16 config option.
-        frozen = jax.jit(lambda t: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, t), donate_argnums=0)(frozen)
+        from hcpdiff_tpu.utils.casting import cast_tree_bf16
+        frozen = cast_tree_bf16(frozen)
 
     rng = np.random.default_rng(0)
     batch = {'latents': jnp.asarray(rng.normal(size=(B, lat, lat, 4)),

@@ -349,10 +349,11 @@ class Visualizer:
         self.unet_params_neg = neg_merger.merged() if has_neg else None
         self.te_params = te_merger.merged()
         if self.dtype == jnp.bfloat16:
-            # inference weight cast: halves HBM weight traffic per UNet call
-            cast = lambda t: jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, t)
+            # inference weight cast: halves HBM weight traffic per UNet
+            # call. Grouped donated casts keep the fp32+bf16 peak bounded
+            # (an eager tree_map holds both full trees live and OOMs a
+            # 16G chip at SDXL scale — see utils/casting.py).
+            from ..utils.casting import cast_tree_bf16 as cast
             self.unet_params = cast(self.unet_params)
             if self.unet_params_neg is not None:
                 self.unet_params_neg = cast(self.unet_params_neg)

@@ -725,13 +725,10 @@ class Trainer:
             # identical forward math (norm/time-embed params lose fp32
             # storage precision — the one nuance). Required for SDXL-1024
             # LoRA on a single 16G v5e chip (the fp32 base alone is 10.3G).
-            # donate_argnums frees each fp32 buffer as its convert
-            # completes — an eager tree_map would hold both trees live and
-            # OOM at SDXL scale (see bench.py's inference-time cast).
-            self.frozen = jax.jit(lambda t: jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, t),
-                donate_argnums=0)(self.frozen)
+            # Grouped donated casts bound the peak (utils/casting.py
+            # explains why a whole-tree donated cast still OOMs).
+            from ..utils.casting import cast_tree_bf16
+            self.frozen = cast_tree_bf16(self.frozen)
         if self.mesh.shape['fsdp'] > 1:
             # fsdp>1 (config key 'fsdp'): frozen base params shard over the
             # fsdp axis — the ZeRO-3/Gemini analog for SDXL-scale models

@@ -253,3 +253,21 @@ def test_frozen_base_dtype_bf16(tmp_path):
     pack_dtypes = {x.dtype for x in jax.tree_util.tree_leaves(t.pack)}
     assert pack_dtypes == {jnp.dtype(jnp.float32)}
     assert t.train() == 2
+
+
+def test_cast_tree_bf16_groups():
+    """Grouped donated cast: fp32 leaves -> bf16 (values preserved),
+    non-fp32 leaves untouched, group packing covers multi-group trees."""
+    from hcpdiff_tpu.utils.casting import cast_tree_bf16
+    tree = {'a': jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+            'b': {'c': jnp.ones((8,), jnp.float32) * 0.5,
+                  'd': jnp.arange(4, dtype=jnp.int32),
+                  'e': jnp.ones((2,), jnp.bfloat16)}}
+    out = cast_tree_bf16(tree, group_bytes=16)  # force several groups
+    assert out['a'].dtype == jnp.bfloat16
+    assert out['b']['c'].dtype == jnp.bfloat16
+    assert out['b']['d'].dtype == jnp.int32
+    assert out['b']['e'].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out['a'], np.float32),
+                               np.arange(12, dtype=np.float32).reshape(3, 4))
+    np.testing.assert_allclose(np.asarray(out['b']['c'], np.float32), 0.5)
