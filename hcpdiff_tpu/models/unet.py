@@ -19,6 +19,7 @@ One config class covers all three model families plus tiny test models.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Optional, Sequence, Tuple
 
@@ -54,6 +55,17 @@ class UNetConfig:
     # creates the host bias at collapse time — here the host is rebuilt
     # with zero-init biases and the delta adds onto them).
     qkv_bias: bool = False
+    # Megatron-style tensor parallelism over a named mesh axis (inference
+    # latency scaling; beyond-reference — the torch reference has no TP).
+    # tp>1 is only valid inside shard_map/with a bound ``tp_axis``: each
+    # member computes heads/tp attention heads and inner/tp FF columns from
+    # the REPLICATED global params (sliced by lax.axis_index — weights are
+    # small next to activations at diffusion scales, so replicate-and-slice
+    # avoids resharded checkpoints), with one psum per sublayer at the
+    # row-parallel output projections. Convs/norms are replicated compute.
+    # See parallel/tp.py for the shard_map driver + divisibility checks.
+    tp: int = 1
+    tp_axis: str = 'model'
 
     @classmethod
     def sd15(cls) -> 'UNetConfig':
@@ -285,6 +297,43 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
     dtype: Dtype = jnp.bfloat16
     qkv_bias: bool = False
+    tp: int = 1                 # tensor parallelism (see UNetConfig.tp)
+    tp_axis: str = 'model'
+
+    def _tp_call(self, x, ctx, bias, res):
+        """Megatron-style head-parallel attention: q/k/v column-parallel
+        (this member's heads/tp head slice of the replicated kernels),
+        to_out row-parallel with ONE psum over ``tp_axis``. Param tree is
+        byte-identical to the tp=1 module — slicing happens at apply time
+        via lax.axis_index, so standard checkpoints load unchanged."""
+        B, S, _ = x.shape
+        Sk = ctx.shape[1]
+        h, d = self.heads, self.query_dim // self.heads
+        if h % self.tp:
+            raise ValueError(f'heads={h} not divisible by tp={self.tp}')
+        if self.qkv_bias:
+            raise NotImplementedError('tp>1 with qkv_bias is unsupported')
+        idx = jax.lax.axis_index(self.tp_axis)
+        ltp = self.query_dim // self.tp
+        wq = _DenseKernel(self.query_dim, name='to_q')(x.shape[-1])
+        wk = _DenseKernel(self.query_dim, name='to_k')(ctx.shape[-1])
+        wv = _DenseKernel(self.query_dim, name='to_v')(ctx.shape[-1])
+
+        def cols(w):
+            return jax.lax.dynamic_slice_in_dim(w.astype(self.dtype),
+                                                idx * ltp, ltp, axis=1)
+
+        xb, cb = x.astype(self.dtype), ctx.astype(self.dtype)
+        q = (xb @ cols(wq)).reshape(B, S, h // self.tp, d).transpose(0, 2, 1, 3)
+        k = (cb @ cols(wk)).reshape(B, Sk, h // self.tp, d).transpose(0, 2, 1, 3)
+        v = (cb @ cols(wv)).reshape(B, Sk, h // self.tp, d).transpose(0, 2, 1, 3)
+        o = attention(q, k, v, bias=bias)
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, ltp)
+        ko, bo = _DenseParams(self.query_dim, name='to_out')(self.query_dim)
+        kol = jax.lax.dynamic_slice_in_dim(ko.astype(self.dtype),
+                                           idx * ltp, ltp, axis=0)
+        out = jax.lax.psum(o @ kol, self.tp_axis) + bo.astype(self.dtype)
+        return out if res is None else out + res
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
@@ -292,6 +341,11 @@ class CrossAttention(nn.Module):
                  res: Optional[jnp.ndarray] = None,
                  ln: Optional[tuple] = None) -> jnp.ndarray:
         ctx = x if context is None else context
+        if self.tp > 1:
+            if ln is not None:
+                raise NotImplementedError('tp>1 with HCP_PALLAS_LN fusion '
+                                          'is unsupported')
+            return self._tp_call(x, ctx, bias, res)
         B, S, _ = x.shape
         Sk = ctx.shape[1]
         h = self.heads
@@ -359,11 +413,41 @@ class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: Dtype = jnp.bfloat16
+    tp: int = 1                 # tensor parallelism (see UNetConfig.tp)
+    tp_axis: str = 'model'
+
+    def _tp_call(self, x, res):
+        """Column-parallel GEGLU (this member's inner/tp slice of BOTH the
+        value and gate halves of the replicated proj kernel) + row-parallel
+        out projection with ONE psum. Param tree identical to tp=1."""
+        inner = self.dim * self.mult
+        li = inner // self.tp
+        idx = jax.lax.axis_index(self.tp_axis)
+        k, b = _DenseParams(inner * 2, name='proj')(x.shape[-1])
+        kd, bd = k.astype(self.dtype), b.astype(self.dtype)
+        # proj kernel columns are [value | gate]; take matching li-slices of
+        # each half so the local geglu pairs value_i with gate_i
+        kv = jax.lax.dynamic_slice_in_dim(kd, idx * li, li, axis=1)
+        kg = jax.lax.dynamic_slice_in_dim(kd, inner + idx * li, li, axis=1)
+        bv = jax.lax.dynamic_slice_in_dim(bd, idx * li, li, axis=0)
+        bg = jax.lax.dynamic_slice_in_dim(bd, inner + idx * li, li, axis=0)
+        xb = x.astype(self.dtype)
+        hloc = (xb @ kv + bv) * jax.nn.gelu(xb @ kg + bg, approximate=False)
+        ko, bo = _DenseParams(self.dim, name='out')(inner)
+        kol = jax.lax.dynamic_slice_in_dim(ko.astype(self.dtype),
+                                           idx * li, li, axis=0)
+        out = jax.lax.psum(hloc @ kol, self.tp_axis) + bo.astype(self.dtype)
+        return out if res is None else out + res
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  res: Optional[jnp.ndarray] = None,
                  ln: Optional[tuple] = None) -> jnp.ndarray:
+        if self.tp > 1:
+            if ln is not None:
+                raise NotImplementedError('tp>1 with HCP_PALLAS_LN fusion '
+                                          'is unsupported')
+            return self._tp_call(x, res)
         inner = self.dim * self.mult
         if ln is not None:
             # norm3 + GEGLU + out-projection (+ block residual), all Pallas
@@ -417,13 +501,16 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     dtype: Dtype = jnp.bfloat16
     qkv_bias: bool = False
+    tp: int = 1                 # tensor parallelism (see UNetConfig.tp)
+    tp_axis: str = 'model'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
                  context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # the LN-fused q/k/v GEMMs are bias-free by construction; biased
-        # hosts (pre-0.9 LoRA compat) take the standard path
-        if _pallas_ln() and not self.qkv_bias:
+        # hosts (pre-0.9 LoRA compat) take the standard path; tp>1 slices
+        # kernels at apply time, incompatible with the LN-fused prologues
+        if _pallas_ln() and not self.qkv_bias and self.tp == 1:
             # LNs fold into the projection prologues; params declared via
             # _LNParams so the tree matches nn.LayerNorm exactly
             g1, b1 = _LNParams(name='norm1')(self.dim)
@@ -443,13 +530,16 @@ class BasicTransformerBlock(nn.Module):
         # math is identical to `x + sublayer(ln(x))`, but the Pallas-routed
         # projections absorb the add so it never crosses the HBM boundary
         x = CrossAttention(self.dim, self.heads, dtype=self.dtype,
-                           qkv_bias=self.qkv_bias,
+                           qkv_bias=self.qkv_bias, tp=self.tp,
+                           tp_axis=self.tp_axis,
                            name='attn1')(ln('norm1')(x), res=x)
         x = CrossAttention(self.dim, self.heads, self.context_dim, dtype=self.dtype,
-                           qkv_bias=self.qkv_bias,
+                           qkv_bias=self.qkv_bias, tp=self.tp,
+                           tp_axis=self.tp_axis,
                            name='attn2')(ln('norm2')(x), context,
                                          bias=context_bias, res=x)
-        x = GEGLUFeedForward(self.dim, dtype=self.dtype,
+        x = GEGLUFeedForward(self.dim, dtype=self.dtype, tp=self.tp,
+                             tp_axis=self.tp_axis,
                              name='ff')(ln('norm3')(x), res=x)
         return x
 
@@ -462,6 +552,8 @@ class Transformer2D(nn.Module):
     groups: int
     dtype: Dtype = jnp.bfloat16
     qkv_bias: bool = False
+    tp: int = 1                 # tensor parallelism (see UNetConfig.tp)
+    tp_axis: str = 'model'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
@@ -487,6 +579,7 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             h = BasicTransformerBlock(self.channels, self.heads, self.context_dim,
                                       dtype=self.dtype, qkv_bias=self.qkv_bias,
+                                      tp=self.tp, tp_axis=self.tp_axis,
                                       name=f'transformer_blocks_{i}')(h, context, context_bias)
         if _int8():
             from ..ops.int8 import int8_dense
@@ -535,7 +628,19 @@ class UNet2DCondition(nn.Module):
     remat: bool = False
 
     def _maybe_remat(self, cls):
-        return nn.remat(cls) if self.remat else cls
+        if not self.remat:
+            return cls
+        # HCP_REMAT_POLICY=flash: selective remat — save the named flash
+        # forward outputs (ops/flash_attention.py tags 'flash_out'/'flash_lse'
+        # in its custom_vjp fwd) so the backward pass reuses them instead of
+        # re-running the flash forward kernel; everything else in the block
+        # still rematerializes. Costs the saved o/lse HBM (~0.4 GB at 512px
+        # b8), buys one flash forward per attention per step.
+        if os.environ.get('HCP_REMAT_POLICY', 'full') == 'flash':
+            policy = jax.checkpoint_policies.save_only_these_names(
+                'flash_out', 'flash_lse')
+            return nn.remat(cls, policy=policy)
+        return nn.remat(cls)
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
@@ -564,6 +669,8 @@ class UNet2DCondition(nn.Module):
         c = self.cfg
         Res = self._maybe_remat(ResnetBlock2D)
         Tfm = self._maybe_remat(Transformer2D)
+        if getattr(c, 'tp', 1) > 1:
+            Tfm = functools.partial(Tfm, tp=c.tp, tp_axis=c.tp_axis)
 
         ctx = encoder_hidden_states.astype(self.dtype)
         ctx_bias = None

@@ -1072,6 +1072,16 @@ def _make_flash(causal: bool, scale: Optional[float]):
         s = (q.shape[-1] ** -0.5) if scale is None else scale
         if use_pallas_bwd:
             o, lse = _flash_forward_lse(q, k, v, causal, s)
+            # Name the forward-kernel outputs so a selective remat policy
+            # (models/unet.py HCP_REMAT_POLICY=flash ->
+            # save_only_these_names('flash_out','flash_lse')) can SAVE them:
+            # with o and lse stored, the rematerialized backward jaxpr has no
+            # consumer of the forward kernel and DCE elides it — the flash
+            # forward then runs once per step instead of twice under
+            # whole-block nn.remat. No-op unless such a policy is active.
+            from jax.ad_checkpoint import checkpoint_name
+            o = checkpoint_name(o, 'flash_out')
+            lse = checkpoint_name(lse, 'flash_lse')
             return o, (q, k, v, o, lse)
         return fn(q, k, v), (q, k, v, None, None)
 

@@ -188,6 +188,26 @@ def test_flash_backward_under_remat():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
 
 
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='interpret-mode pallas cannot run under remat '
+                           '(callback effects); validated on real TPU')
+def test_flash_selective_remat_policy_grad_parity():
+    """save_only_these_names('flash_out','flash_lse') remat (the
+    HCP_REMAT_POLICY=flash path, models/unet.py) must give the same
+    gradients as plain remat — the saved o/lse feed the Pallas backward
+    directly while the rest of the block rematerializes."""
+    q = jax.random.normal(jax.random.PRNGKey(8), (1, 2, 256, 40))
+
+    def f(q):
+        return jnp.sum(flash_attention(q, q, q) ** 2)
+
+    policy = jax.checkpoint_policies.save_only_these_names(
+        'flash_out', 'flash_lse')
+    g1 = jax.grad(jax.remat(f))(q)
+    g2 = jax.grad(jax.remat(f, policy=policy))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
 def test_flash_streaming_forward_matches_reference():
     """Streaming (k-grid) forward vs reference — multi k-block accumulation
     in scratch, incl. causal. Small shapes with forced small blocks."""
