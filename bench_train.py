@@ -50,21 +50,42 @@ def main():
     if sdxl:
         init_kw = dict(pooled_text_emb=jnp.zeros((1, 1280)),
                        time_ids=jnp.zeros((1, 6)))
-    # jitted init: eager flax init dispatches thousands of tiny ops over the
-    # axon tunnel (~10 min); one compiled, persistent-cached program instead.
-    unet_params = jax.jit(unet.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 4)), jnp.array([0]),
-        jnp.zeros((1, 77, ctx_dim)), **init_kw)['params']
+    frozen_bf16 = os.environ.get('HCP_FROZEN_BF16',
+                                 '1' if sdxl else '0') == '1'
+    # With bf16 frozen storage the TE modules must ALSO run bf16: a fp32
+    # module dtype makes XLA materialize fp32 copies of the weights inside
+    # the step — ~5.6 GB of temps for SDXL's bigG alone, which OOMs the
+    # 16G chip before activations are even counted.
+    te_dtype = jnp.bfloat16 if frozen_bf16 else jnp.float32
+
+    def jinit(mod, *args, **kw):
+        # jitted init: eager flax init dispatches thousands of tiny ops over
+        # the axon tunnel (~10 min); one compiled, persistent-cached program
+        # instead. With frozen_bf16 the cast happens INSIDE the program, so
+        # the fp32 tree never materializes whole on the chip — casting after
+        # init would peak at fp32(unet)+fp32(bigG)+cast temps ≈ 14.6 GB and
+        # OOM the 16 GB v5e before the step is even traced.
+        def f(rng):
+            p = mod.init(rng, *args, **kw)['params']
+            if frozen_bf16:
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, p)
+            return p
+        return jax.jit(f)
+
+    unet_params = jinit(unet, jnp.zeros((1, lat, lat, 4)), jnp.array([0]),
+                        jnp.zeros((1, 77, ctx_dim)),
+                        **init_kw)(jax.random.PRNGKey(0))
     tcfg = CLIPTextConfig.sd15()
-    te = CLIPTextModel(tcfg, dtype=jnp.float32)
-    te_params = jax.jit(te.init)(jax.random.PRNGKey(1),
-                                 jnp.zeros((1, 77), jnp.int32))['params']
+    te = CLIPTextModel(tcfg, dtype=te_dtype)
+    te_params = jinit(te, jnp.zeros((1, 77), jnp.int32))(jax.random.PRNGKey(1))
     te2 = te2_params = None
     if sdxl:
         from hcpdiff_tpu.models.clip import CLIPTextConfig as _TC
-        te2 = CLIPTextModel(_TC.sdxl_big_g(), dtype=jnp.float32)
-        te2_params = jax.jit(te2.init)(jax.random.PRNGKey(4),
-                                       jnp.zeros((1, 77), jnp.int32))['params']
+        te2 = CLIPTextModel(_TC.sdxl_big_g(), dtype=te_dtype)
+        te2_params = jinit(te2, jnp.zeros((1, 77), jnp.int32))(
+            jax.random.PRNGKey(4))
 
     schedule = NoiseSchedule.make()
     overlay, scales = make_lora_overlay(
@@ -102,19 +123,13 @@ def main():
                                     StepConfig(), {'lora_unet': scales}),
                    donate_argnums=(0,))
     state = init_train_state(pack, tx)
+    # frozen_bf16 storage happened inside jinit (bf16 halves the dominant
+    # HBM term — required to fit SDXL-1024 on one 16G v5e chip, where the
+    # fp32 base alone is 10.3G; mirrors the Trainer's
+    # model.frozen_base_dtype: bf16 config option, trainer.py:719).
     frozen = {'unet': unet_params, 'te': te_params}
     if sdxl:
         frozen['te2'] = te2_params
-    if os.environ.get('HCP_FROZEN_BF16', '1' if sdxl else '0') == '1':
-        # LoRA training never updates the base, and the compute dtype is
-        # bf16 anyway (flax casts fp32 params at use), so bf16 frozen
-        # storage halves the dominant HBM term — required to fit SDXL-1024
-        # on one 16G v5e chip (fp32 base alone is 10.3G). Grouped donated
-        # casts keep the peak bounded (utils/casting.py explains why a
-        # whole-tree donated cast still OOMs). Mirrors the Trainer's
-        # model.frozen_base_dtype: bf16 config option.
-        from hcpdiff_tpu.utils.casting import cast_tree_bf16
-        frozen = cast_tree_bf16(frozen)
 
     rng = np.random.default_rng(0)
     batch = {'latents': jnp.asarray(rng.normal(size=(B, lat, lat, 4)),

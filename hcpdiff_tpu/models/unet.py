@@ -630,13 +630,16 @@ class UNet2DCondition(nn.Module):
     def _maybe_remat(self, cls):
         if not self.remat:
             return cls
-        # HCP_REMAT_POLICY=flash: selective remat — save the named flash
-        # forward outputs (ops/flash_attention.py tags 'flash_out'/'flash_lse'
-        # in its custom_vjp fwd) so the backward pass reuses them instead of
-        # re-running the flash forward kernel; everything else in the block
-        # still rematerializes. Costs the saved o/lse HBM (~0.4 GB at 512px
-        # b8), buys one flash forward per attention per step.
-        if os.environ.get('HCP_REMAT_POLICY', 'full') == 'flash':
+        # HCP_REMAT_POLICY=flash (default): selective remat — save the named
+        # flash forward outputs (ops/flash_attention.py tags 'flash_out'/
+        # 'flash_lse' in its custom_vjp fwd) so the backward pass reuses them
+        # instead of re-running the flash forward kernel; everything else in
+        # the block still rematerializes. Costs the saved o/lse HBM (~0.4 GB
+        # at 512px b8), buys one flash forward per attention per step.
+        # Round-5 A/B on-chip: 39.43 vs 37.33 samples/s (+5.6%) at the 512px
+        # LoRA bench. HCP_REMAT_POLICY=full restores whole-block remat (the
+        # escape hatch if the saved activations don't fit).
+        if os.environ.get('HCP_REMAT_POLICY', 'flash') == 'flash':
             policy = jax.checkpoint_policies.save_only_these_names(
                 'flash_out', 'flash_lse')
             return nn.remat(cls, policy=policy)
